@@ -1,0 +1,170 @@
+"""Shared flax layers with torch-equivalent numerics.
+
+The reference stacks torch built-ins (``nn.TransformerEncoder``,
+``nn.MultiheadAttention``, ``nn.LayerNorm``, ``nn.Conv1d``); the BASELINE
+target requires our logits to match a torch forward pass to 1e-4, so these
+layers reproduce torch's exact math (post-LN encoder blocks, ReLU FFN,
+eps=1e-5 LayerNorm, q-scaled attention with additive key-padding masks)
+while staying fully static-shaped for XLA.
+
+Initializers follow torch defaults (kaiming-uniform weights, fan-in uniform
+bias) so training dynamics are comparable even without ported weights.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_linear_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear weight default: kaiming_uniform(a=sqrt(5)).
+
+    For a flax kernel of shape (fan_in, fan_out) this reduces to
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+    """
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Linear(nn.Module):
+    """nn.Dense with torch-default initialization."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", torch_linear_init, (fan_in, self.features))
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """torch LayerNorm over the last dim (default eps 1e-5), computed in f32."""
+
+    eps: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype or orig_dtype)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """torch nn.MultiheadAttention semantics (fused qkv, q-scaling, key padding).
+
+    ``key_padding_mask``: (B, L) boolean, True = padded. Masked keys receive a
+    large negative additive bias instead of -inf so fully-padded rows stay
+    finite (their outputs are discarded downstream anyway).
+    """
+
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, *, deterministic: bool = True):
+        B, L, D = x.shape
+        H = self.num_heads
+        head_dim = D // H
+        qkv = Linear(3 * D, dtype=self.dtype, name="in_proj")(x)  # (B, L, 3D)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, L, H, head_dim).transpose(0, 2, 1, 3)  # (B,H,L,hd)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(head_dim)
+        if key_padding_mask is not None:
+            neg = jnp.asarray(-1e9, dtype=scores.dtype)
+            scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
+        attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        return Linear(D, dtype=self.dtype, name="out_proj")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN encoder block: torch nn.TransformerEncoderLayer defaults.
+
+    x = LN1(x + Drop(SelfAttn(x))); x = LN2(x + Drop(W2 Drop(act(W1 x)))).
+    Activation is ReLU (torch default used by the reference encoders).
+    """
+
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.0
+    activation: Callable = nn.relu
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, *, deterministic: bool = True):
+        D = x.shape[-1]
+        attn_out = MultiHeadSelfAttention(
+            self.num_heads, self.dropout, dtype=self.dtype, name="self_attn"
+        )(x, key_padding_mask, deterministic=deterministic)
+        attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
+        x = LayerNorm(dtype=self.dtype, name="norm1")(x + attn_out)
+        h = Linear(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Linear(D, dtype=self.dtype, name="linear2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return LayerNorm(dtype=self.dtype, name="norm2")(x + h)
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of post-LN encoder layers (torch nn.TransformerEncoder, no final norm)."""
+
+    num_layers: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, *, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.num_heads,
+                self.dim_feedforward,
+                self.dropout,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )(x, key_padding_mask, deterministic=deterministic)
+        return x
+
+
+def gelu_exact(x):
+    """torch F.gelu default = exact erf formulation (jax default is tanh approx)."""
+    return jax.nn.gelu(x, approximate=False)

@@ -1,0 +1,108 @@
+"""Convert torch state_dicts of the reference architectures into flax params.
+
+Enables (a) numeric parity tests against torch-built equivalents and
+(b) migrating reference-trained checkpoints into this framework (the
+BASELINE target: logits match the PyTorch reference to 1e-4).
+
+All inputs are plain ``{name: np.ndarray}`` dicts (call ``.numpy()`` on
+torch tensors first); no torch import happens here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _lin(sd: dict, prefix: str) -> dict:
+    out = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _ln(sd: dict, prefix: str) -> dict:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _encoder_layer(sd: dict, prefix: str) -> dict:
+    """torch nn.TransformerEncoderLayer -> our TransformerEncoderLayer params."""
+    return {
+        "self_attn": {
+            "in_proj": {
+                "kernel": np.ascontiguousarray(sd[f"{prefix}.self_attn.in_proj_weight"].T),
+                "bias": sd[f"{prefix}.self_attn.in_proj_bias"],
+            },
+            "out_proj": _lin(sd, f"{prefix}.self_attn.out_proj"),
+        },
+        "linear1": _lin(sd, f"{prefix}.linear1"),
+        "linear2": _lin(sd, f"{prefix}.linear2"),
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+    }
+
+
+def transformer_encoder_params(sd: dict, prefix: str, n_layers: int) -> dict:
+    return {f"layer_{i}": _encoder_layer(sd, f"{prefix}.layers.{i}") for i in range(n_layers)}
+
+
+def time2vec_params(sd: dict, prefix: str) -> dict:
+    return {k: sd[f"{prefix}.{k}"] for k in ("w0", "b0", "w", "b")}
+
+
+def baseline_cls_trunk_params(sd: dict, n_layers: int, prefix: str = "") -> dict:
+    """Trunk shared by BaselineCLS and MPT (in_proj/cls_tok/time2vec/encoder)."""
+    p = prefix
+    return {
+        "in_proj": _lin(sd, f"{p}in_proj"),
+        "cls_tok": sd[f"{p}cls_tok"],
+        "time2vec": time2vec_params(sd, f"{p}time2vec"),
+        "encoder": transformer_encoder_params(sd, f"{p}encoder", n_layers),
+    }
+
+
+def baseline_cls_params(sd: dict, n_layers: int, classification: bool = True) -> dict:
+    """Full BaselineCLS torch state_dict -> flax params tree."""
+    params = {
+        "trunk": baseline_cls_trunk_params(sd, n_layers),
+        "norm": _ln(sd, "norm"),
+    }
+    if classification and "fc.weight" in sd:
+        params["fc"] = _lin(sd, "fc")
+    return params
+
+
+def mpt_params(sd: dict, n_layers: int) -> dict:
+    """MPT pretrainer state_dict -> flax params tree."""
+    return {
+        "trunk": baseline_cls_trunk_params(sd, n_layers),
+        "head_flux": _lin(sd, "head_flux"),
+        "head_band": _lin(sd, "head_band"),
+        "head_dt": _lin(sd, "head_dt"),
+    }
+
+
+def conv1d_params(sd: dict, prefix: str) -> dict:
+    """torch Conv1d weight (O, I, K) -> lax conv kernel stored as (K, I, O)."""
+    w = sd[f"{prefix}.weight"]
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 1, 0)))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def conv2d_params(sd: dict, prefix: str) -> dict:
+    """torch Conv2d weight (O, I, kH, kW) -> flax kernel (kH, kW, I, O)."""
+    w = sd[f"{prefix}.weight"]
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def mpt_to_classifier_warmstart(mpt_flax_params: dict) -> dict:
+    """Weight surgery: MPT trunk -> fresh classifier warm start.
+
+    Mirrors the reference recipe (baselineCLS_example.py:31-39): copy every
+    non-head parameter; the classifier's ``norm`` and ``fc`` start fresh.
+    """
+    return {"trunk": mpt_flax_params["trunk"]}
