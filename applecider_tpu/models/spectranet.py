@@ -1,0 +1,197 @@
+"""SpectraNet: multi-kernel 1-D CNN for optical spectra.
+
+Behavioral contract from the reference
+(``src/applecider/models/spectranet.py:7-206``, archive
+``_archive/AppleCider/models/SpectraNet.py:9-114`` and
+``SpectraNetRedshift.py:9-115``):
+
+* 5 stages; each stage is a bank of Conv1d's with different kernel sizes
+  (e.g. [3, 61, 1021]) whose outputs concatenate on channels;
+* LayerNorm over channels (torch permutes NCL->NLC; our native NLC layout
+  needs no permute), exact GELU;
+* pooling stages end with a 1x1 downsample conv + MaxPool1d(4); the final
+  stage keeps all k*C channels;
+* adaptive max-pool over length -> MLP head (flat_dim -> 384 -> classes),
+  LayerNorm + GELU + Dropout(0.5) in the head;
+* ``redshift=True`` swaps the classifier for a 1-output regressor
+  (optionally softplus-activated, cf. archive SpectraNetRedshift.py:93-113).
+
+TPU design: NLC layout, FFT convolution for wide kernels (see
+``applecider_tpu.ops.conv1d``), f32 accumulation, bf16 activations on the
+fast path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from applecider_tpu.models.base import Task, maybe_softmax
+from applecider_tpu.models.layers import Linear, LayerNorm, gelu_exact, torch_bias_init
+from applecider_tpu.ops.conv1d import conv1d, max_pool1d
+from applecider_tpu.ops.losses import focal_loss
+from applecider_tpu.registry import register_model
+
+
+def _torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv1d default init for kernel (K, Cin, Cout): U(+-1/sqrt(Cin*K))."""
+    k, cin, _ = shape
+    bound = 1.0 / np.sqrt(cin * k)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv1dTorch(nn.Module):
+    """Conv1d with torch-default init; 'same' padding, odd kernels."""
+
+    features: int
+    kernel_size: int
+    conv_mode: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", _torch_conv_kernel_init, (self.kernel_size, cin, self.features))
+        bias = self.param("bias", torch_bias_init(cin * self.kernel_size), (self.features,))
+        return conv1d(x, kernel, bias, mode=self.conv_mode)
+
+
+class SpectraBlock(nn.Module):
+    """Multi-kernel conv bank + channel LayerNorm + GELU (+ downsample/pool)."""
+
+    out_channels: int
+    kernel_sizes: Sequence[int]
+    use_ln: bool = True
+    do_pool: bool = False
+    conv_mode: str = "auto"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        feats = [
+            Conv1dTorch(self.out_channels, k, conv_mode=self.conv_mode, name=f"conv_{i}")(x)
+            for i, k in enumerate(self.kernel_sizes)
+        ]
+        x = jnp.concatenate(feats, axis=-1)
+        # use_ln=False (BatchNorm in the reference) is not supported on the
+        # TPU path: the reference defaults are all-LN and BN's running stats
+        # don't fit the functional training step. LN is always applied.
+        x = LayerNorm(name="norm")(x)
+        x = gelu_exact(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        if self.do_pool:
+            x = Conv1dTorch(self.out_channels, 1, conv_mode="direct", name="downsample")(x)
+            x = max_pool1d(x, 4)
+        return x
+
+
+class SpectraNetModule(nn.Module):
+    channels: Sequence[int] = (64, 128, 256, 512, 1024)
+    depths: Sequence[int] = (1, 1, 1, 1, 1)
+    kernel_sizes_per_stage: Sequence[Sequence[int]] = (
+        (3, 61, 1021), (3, 31, 251), (3, 15, 61), (3, 11, 31), (3, 7, 13),
+    )
+    num_classes: int = 9
+    head_hidden: int = 384
+    head_dropout: float = 0.5
+    redshift: bool = False
+    redshift_softplus: bool = False
+    conv_mode: str = "auto"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        """x: (B, L) or (B, L, 1) spectrum -> logits (B, C) or redshift (B,)."""
+        if x.ndim == 2:
+            x = x[..., None]
+        x = x.astype(self.dtype or jnp.float32)
+        n_stages = len(self.channels)
+        for s in range(n_stages):
+            is_last_stage = s == n_stages - 1
+            for d in range(int(self.depths[s])):
+                x = SpectraBlock(
+                    out_channels=int(self.channels[s]),
+                    kernel_sizes=tuple(self.kernel_sizes_per_stage[s]),
+                    do_pool=(not is_last_stage) and d == int(self.depths[s]) - 1,
+                    conv_mode=self.conv_mode,
+                    dtype=self.dtype,
+                    name=f"stage{s}_block{d}",
+                )(x)
+        # adaptive max pool over length -> (B, k_last * C_last)
+        x = jnp.max(x, axis=1).astype(jnp.float32)
+        h = Linear(self.head_hidden, name="head_fc1")(x)
+        h = LayerNorm(name="head_norm")(h)
+        h = gelu_exact(h)
+        h = nn.Dropout(self.head_dropout)(h, deterministic=deterministic)
+        out_dim = 1 if self.redshift else self.num_classes
+        out = Linear(out_dim, name="head_fc2")(h)
+        if self.redshift:
+            out = out[..., 0]
+            if self.redshift_softplus:
+                out = jax.nn.softplus(out)
+        return out
+
+
+@register_model(name="SpectraNet")
+class SpectraNetTask(Task):
+    name = "SpectraNet"
+
+    def __init__(self, config):
+        super().__init__(config)
+        mc = config["model"]["SpectraNet"]
+        self.mc = mc
+        self.redshift = bool(mc.get("redshift", False))
+        self.module = SpectraNetModule(
+            channels=tuple(mc["channels"]),
+            depths=tuple(mc["depths"]),
+            kernel_sizes_per_stage=tuple(tuple(k) for k in mc["kernel_sizes_per_stage"]),
+            num_classes=int(mc.get("class_order", 9)),
+            head_dropout=float(mc.get("head_dropout", 0.5)),
+            redshift=self.redshift,
+            redshift_softplus=bool(mc.get("redshift_softplus", False)),
+            conv_mode=str(mc.get("conv_mode", "auto")),
+            dtype=self.compute_dtype(),
+        )
+
+    def init(self, rng, batch):
+        return self.module.init({"params": rng}, jnp.asarray(batch[0]), deterministic=True)
+
+    def loss_fn(self, params, batch, rng, train: bool):
+        flux, labels, redshifts = batch
+        out = self.module.apply(
+            {"params": params}, flux,
+            deterministic=not train, rngs={"dropout": rng} if train else {},
+        )
+        if self.redshift:
+            loss = jnp.mean((out - redshifts.astype(jnp.float32)) ** 2)
+            return loss, {"metrics": {"loss": loss}}
+        gamma = float(self.mc.get("focal_gamma", 2.0))
+        loss = focal_loss(out, labels, gamma=gamma)
+        return loss, {"metrics": {"loss": loss}, "logits": out}
+
+    def predict(self, params, batch):
+        flux = batch[0] if isinstance(batch, (tuple, list)) else batch
+        out = self.module.apply({"params": params}, flux, deterministic=True)
+        if self.redshift:
+            return out
+        return maybe_softmax(out, bool(self.mc.get("use_probabilities", False)))
+
+    def make_optimizer(self):
+        return optax.adamw(
+            float(self.mc.get("lr", 1e-4)), weight_decay=float(self.mc.get("weight_decay", 1e-2))
+        )
+
+    @staticmethod
+    def to_tensor(data_dict: dict):
+        data = data_dict["data"]
+        flux = np.asarray(data.get("flux", []), dtype=np.float32)
+        if flux.ndim == 3:  # (B, 1, L) channel-first input -> (B, L)
+            flux = flux[:, 0, :]
+        labels = np.asarray(data.get("label", []), dtype=np.int32)
+        redshifts = np.asarray(data.get("redshift", []), dtype=np.float32)
+        return (flux, labels, redshifts)

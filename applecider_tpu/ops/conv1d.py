@@ -1,0 +1,108 @@
+"""1-D convolutions for SpectraNet: direct (MXU) and FFT fast paths.
+
+The reference's SpectraNet uses torch ``Conv1d`` banks with kernels up to
+1021 taps (``src/applecider/default_config.toml:108-114``). Direct
+convolution at those sizes costs L*K*Cin*Cout MACs (stage 2: ~10 GFLOP per
+sample); the FFT path replaces the K factor with ~O(log N) via the
+convolution theorem, a >30x FLOP reduction for K >= ~64, while keeping
+exact 'same' cross-correlation semantics (torch Conv1d, odd K, padding
+K//2).
+
+Layout is NLC (batch, length, channels) throughout — TPU/XLA native; the
+torch NCL permute dance disappears.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# kernels at least this wide route to the FFT path in "auto" mode
+FFT_KERNEL_THRESHOLD = 64
+
+
+def conv1d_direct(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """'same' cross-correlation, odd K.
+
+    x: (B, L, Cin); kernel: (K, Cin, Cout) -> (B, L, Cout).
+    """
+    k = kernel.shape[0]
+    y = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=[(k // 2, k // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _next_fast_len(n: int) -> int:
+    """Smallest 5-smooth (2^a 3^b 5^c) size >= n for efficient FFT."""
+    best = 1 << (n - 1).bit_length()
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            x = p35
+            while x < n:
+                x *= 2
+            if x < best:
+                best = x
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
+def conv1d_fft(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """'same' cross-correlation via rfft, numerically f32.
+
+    Equivalent to ``conv1d_direct`` for odd K: linear convolution with the
+    flipped kernel, sliced at offset K//2.
+    """
+    B, L, Cin = x.shape
+    K, _, Cout = kernel.shape
+    n = _next_fast_len(L + K - 1)
+    xf = jnp.fft.rfft(x.astype(jnp.float32), n=n, axis=1)  # (B, F, Cin)
+    wf = jnp.fft.rfft(kernel[::-1].astype(jnp.float32), n=n, axis=0)  # (F, Cin, Cout)
+    yf = jnp.einsum("bfi,fio->bfo", xf, wf)
+    y = jnp.fft.irfft(yf, n=n, axis=1)
+    y = lax.dynamic_slice_in_dim(y, K // 2, L, axis=1)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def conv1d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    mode: str = "auto",
+) -> jax.Array:
+    """Dispatch between direct and FFT paths.
+
+    mode: "auto" (FFT for K >= 64), "direct" (exact parity path), "fft".
+    """
+    k = kernel.shape[0]
+    if mode == "fft" or (mode == "auto" and k >= FFT_KERNEL_THRESHOLD):
+        return conv1d_fft(x, kernel, bias)
+    return conv1d_direct(x, kernel, bias)
+
+
+def max_pool1d(x: jax.Array, window: int) -> jax.Array:
+    """torch MaxPool1d(window) semantics: stride=window, no padding (floor)."""
+    L = x.shape[1]
+    usable = (L // window) * window
+    x = x[:, :usable]
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, window, 1),
+        window_strides=(1, window, 1),
+        padding="VALID",
+    )

@@ -99,6 +99,33 @@ def conv2d_params(sd: dict, prefix: str) -> dict:
     return out
 
 
+def spectranet_params(sd: dict, depths, n_kernels_per_stage) -> dict:
+    """SpectraNet torch state_dict -> flax params.
+
+    Expects torch module names ``stages.{s}.{d}.convs.{i}`` /
+    ``stages.{s}.{d}.norm`` / ``stages.{s}.{d}.downsample`` and head
+    ``classifier.{0,1,4}`` (fc1, LN, fc2) — the layout of the torch oracle
+    in tests/torch_refs.py, mirroring the reference architecture.
+    """
+    params: dict = {}
+    n_stages = len(depths)
+    for s in range(n_stages):
+        for d in range(int(depths[s])):
+            prefix = f"stages.{s}.{d}"
+            block = {
+                f"conv_{i}": conv1d_params(sd, f"{prefix}.convs.{i}")
+                for i in range(n_kernels_per_stage[s])
+            }
+            block["norm"] = _ln(sd, f"{prefix}.norm")
+            if f"{prefix}.downsample.weight" in sd:
+                block["downsample"] = conv1d_params(sd, f"{prefix}.downsample")
+            params[f"stage{s}_block{d}"] = block
+    params["head_fc1"] = _lin(sd, "classifier.0")
+    params["head_norm"] = _ln(sd, "classifier.1")
+    params["head_fc2"] = _lin(sd, "classifier.4")
+    return params
+
+
 def mpt_to_classifier_warmstart(mpt_flax_params: dict) -> dict:
     """Weight surgery: MPT trunk -> fresh classifier warm start.
 

@@ -1,0 +1,120 @@
+"""SpectraNet: conv kernels (direct vs torch, fft vs direct), full parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from applecider_tpu.config import load_defaults
+from applecider_tpu.models.spectranet import SpectraNetModule, SpectraNetTask
+from applecider_tpu.ops.conv1d import conv1d_direct, conv1d_fft, max_pool1d
+from applecider_tpu.utils.torch_port import spectranet_params
+from tests.torch_refs import TorchSpectraNet, state_dict_numpy
+
+
+def test_conv1d_direct_matches_torch(rng):
+    B, L, Cin, Cout, K = 2, 64, 3, 5, 7
+    x = rng.normal(size=(B, L, Cin)).astype(np.float32)
+    w = rng.normal(size=(K, Cin, Cout)).astype(np.float32) * 0.1
+    b = rng.normal(size=(Cout,)).astype(np.float32)
+    ours = np.asarray(conv1d_direct(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    ref = F.conv1d(
+        torch.tensor(x).permute(0, 2, 1),
+        torch.tensor(np.transpose(w, (2, 1, 0))),
+        torch.tensor(b),
+        padding=K // 2,
+    ).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_conv1d_fft_matches_direct_small(rng):
+    B, L, Cin, Cout, K = 2, 100, 4, 6, 31
+    x = rng.normal(size=(B, L, Cin)).astype(np.float32)
+    w = (rng.normal(size=(K, Cin, Cout)) / np.sqrt(K * Cin)).astype(np.float32)
+    d = np.asarray(conv1d_direct(jnp.asarray(x), jnp.asarray(w)))
+    f = np.asarray(conv1d_fft(jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_allclose(f, d, atol=2e-4)
+
+
+def test_conv1d_fft_matches_direct_giant_kernel(rng):
+    """The reference's headline case: K=1021 over a 3481-bin spectrum."""
+    B, L, Cin, Cout, K = 1, 3481, 1, 8, 1021
+    x = rng.normal(size=(B, L, Cin)).astype(np.float32)
+    w = (rng.normal(size=(K, Cin, Cout)) / np.sqrt(K * Cin)).astype(np.float32)
+    d = np.asarray(conv1d_direct(jnp.asarray(x), jnp.asarray(w)))
+    f = np.asarray(conv1d_fft(jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_allclose(f, d, atol=5e-4)
+
+
+def test_max_pool_matches_torch(rng):
+    x = rng.normal(size=(2, 37, 4)).astype(np.float32)  # 37 not divisible by 4
+    ours = np.asarray(max_pool1d(jnp.asarray(x), 4))
+    ref = torch.nn.MaxPool1d(4)(torch.tensor(x).permute(0, 2, 1)).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(ours, ref)
+
+
+def test_spectranet_parity_vs_torch(rng):
+    torch.manual_seed(7)
+    channels, depths = [8, 16], [1, 1]
+    kernels = [[3, 31], [3, 15]]
+    tm = TorchSpectraNet(channels, depths, kernels, num_classes=9, head_hidden=24)
+    tm.eval()
+    x = rng.normal(size=(2, 256)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    module = SpectraNetModule(
+        channels=channels, depths=depths,
+        kernel_sizes_per_stage=kernels, num_classes=9, head_hidden=24,
+        conv_mode="direct", dtype=jnp.float32,
+    )
+    params = spectranet_params(state_dict_numpy(tm), depths, [len(k) for k in kernels])
+    ours = module.apply({"params": params}, jnp.asarray(x), deterministic=True)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+def test_spectranet_depth2_parity(rng):
+    """depth > 1 stages chain blocks with k*C input channels."""
+    torch.manual_seed(8)
+    channels, depths, kernels = [8], [2], [[3, 7]]
+    tm = TorchSpectraNet(channels, depths, kernels, num_classes=4, head_hidden=16)
+    tm.eval()
+    x = rng.normal(size=(2, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    module = SpectraNetModule(
+        channels=channels, depths=depths, kernel_sizes_per_stage=kernels,
+        num_classes=4, head_hidden=16, conv_mode="direct", dtype=jnp.float32,
+    )
+    params = spectranet_params(state_dict_numpy(tm), depths, [2])
+    ours = module.apply({"params": params}, jnp.asarray(x), deterministic=True)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+def test_task_classifier_and_redshift(rng):
+    cfg = load_defaults()
+    cfg.set("model.SpectraNet.channels", [8, 16])
+    cfg.set("model.SpectraNet.depths", [1, 1])
+    cfg.set("model.SpectraNet.kernel_sizes_per_stage", [[3, 7], [3, 5]])
+    cfg.set("train.compute_dtype", "float32")
+
+    task = SpectraNetTask(cfg)
+    flux = rng.normal(size=(4, 128)).astype(np.float32)
+    labels = rng.integers(0, 9, size=4).astype(np.int32)
+    batch = (jnp.asarray(flux), jnp.asarray(labels), jnp.zeros(4, jnp.float32))
+    variables = task.init(jax.random.PRNGKey(0), batch)
+    loss, aux = task.loss_fn(variables["params"], batch, jax.random.PRNGKey(1), True)
+    assert np.isfinite(float(loss))
+    assert aux["logits"].shape == (4, 9)
+
+    cfg.set("model.SpectraNet.redshift", True)
+    rtask = SpectraNetTask(cfg)
+    rv = rtask.init(jax.random.PRNGKey(0), batch)
+    pred = rtask.predict(rv["params"], batch)
+    assert pred.shape == (4,)
+
+
+def test_to_tensor_channel_first():
+    flux = np.ones((2, 1, 16), np.float32)
+    out = SpectraNetTask.to_tensor({"data": {"flux": flux, "label": [0, 1], "redshift": [0.1, 0.2]}})
+    assert out[0].shape == (2, 16)

@@ -77,5 +77,61 @@ class TorchMPT(nn.Module):
         return self.head_flux(z), self.head_band(z), self.head_dt(z)
 
 
+class TorchSpectraBlock(nn.Module):
+    def __init__(self, in_c, out_c, kernel_sizes, do_pool):
+        super().__init__()
+        self.do_pool = do_pool
+        self.convs = nn.ModuleList(
+            [nn.Conv1d(in_c, out_c, kernel_size=k, padding=k // 2) for k in kernel_sizes]
+        )
+        self.norm = nn.LayerNorm(out_c * len(kernel_sizes))
+        if do_pool:
+            self.downsample = nn.Conv1d(out_c * len(kernel_sizes), out_c, kernel_size=1)
+            self.pool = nn.MaxPool1d(4)
+
+    def forward(self, x):  # x: (B, C, L)
+        x = torch.cat([c(x) for c in self.convs], dim=1)
+        x = self.norm(x.permute(0, 2, 1)).permute(0, 2, 1)
+        x = F.gelu(x)
+        if self.do_pool:
+            x = self.pool(self.downsample(x))
+        return x
+
+
+class TorchSpectraNet(nn.Module):
+    """Multi-kernel conv-bank spectra classifier (reference architecture)."""
+
+    def __init__(self, channels, depths, kernels, num_classes, head_hidden=384):
+        super().__init__()
+        stages = []
+        n = len(channels)
+        for s in range(n):
+            blocks = nn.ModuleList()
+            for d in range(depths[s]):
+                in_c = (channels[s - 1] if s > 0 else 1) if d == 0 else channels[s] * len(kernels[s])
+                blocks.append(
+                    TorchSpectraBlock(in_c, channels[s], kernels[s],
+                                      do_pool=(s < n - 1) and d == depths[s] - 1)
+                )
+            stages.append(blocks)
+        self.stages = nn.ModuleList(stages)
+        flat = channels[-1] * len(kernels[-1])
+        self.classifier = nn.Sequential(
+            nn.Linear(flat, head_hidden),
+            nn.LayerNorm(head_hidden),
+            nn.GELU(),
+            nn.Dropout(0.5),
+            nn.Linear(head_hidden, num_classes),
+        )
+
+    def forward(self, x):  # x: (B, L)
+        x = x.unsqueeze(1)
+        for blocks in self.stages:
+            for b in blocks:
+                x = b(x)
+        x = F.adaptive_max_pool1d(x, 1).squeeze(-1)
+        return self.classifier(x)
+
+
 def state_dict_numpy(model: nn.Module) -> dict:
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}
