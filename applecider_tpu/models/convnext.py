@@ -1,0 +1,126 @@
+"""ConvNeXt-tiny backbone in flax.
+
+The reference's image tower depends on timm's ``convnext_tiny``
+(``src/applecider/models/astrominn.py:12-17``); timm is torch-only, so the
+backbone is reimplemented here following the published ConvNeXt
+architecture (Liu et al. 2022, "A ConvNet for the 2020s"):
+
+* stem: 4x4 conv stride 4 + LayerNorm (eps 1e-6);
+* 4 stages, depths (3, 3, 9, 3), dims (96, 192, 384, 768) for tiny;
+* block: 7x7 depthwise conv -> LN -> pointwise MLP (4x, exact GELU) ->
+  layer-scale gamma (init 1e-6) -> residual (stochastic depth off at eval);
+* downsample between stages: LN + 2x2 conv stride 2;
+* features = LN(global-avg-pool(final stage)) — matches timm with
+  ``num_classes=0`` (head fc = identity).
+
+NHWC layout throughout (TPU native; timm permutes NCHW<->NHWC per block).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from applecider_tpu.models.layers import Linear, gelu_exact, torch_bias_init
+
+
+class LayerNorm6(nn.Module):
+    """LayerNorm over channels with eps 1e-6 (ConvNeXt convention), f32 math."""
+
+    eps: float = 1e-6
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        x = x.astype(jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(self.dtype or orig)
+
+
+def _conv_init(key, shape, dtype=jnp.float32):
+    """torch Conv2d default: U(+-1/sqrt(fan_in)), kernel (kh, kw, in/groups, out)."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv2dTorch(nn.Module):
+    features: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 1
+    padding: int = 0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param("kernel", _conv_init, (k, k, cin // self.groups, self.features))
+        fan_in = (cin // self.groups) * k * k
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
+        )
+        return (y + bias).astype(self.dtype or y.dtype)
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    layer_scale_init: float = 1e-6
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        x = Conv2dTorch(self.dim, 7, padding=3, groups=self.dim, dtype=self.dtype, name="dwconv")(x)
+        x = LayerNorm6(dtype=self.dtype, name="norm")(x)
+        x = Linear(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
+        x = gelu_exact(x)
+        x = Linear(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
+        )
+        x = x * gamma.astype(x.dtype)
+        return shortcut + x
+
+
+class ConvNeXt(nn.Module):
+    """ConvNeXt feature extractor; returns (B, dims[-1]) pooled features."""
+
+    depths: Sequence[int] = (3, 3, 9, 3)
+    dims: Sequence[int] = (96, 192, 384, 768)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, C) image in NHWC."""
+        x = Conv2dTorch(self.dims[0], 4, stride=4, dtype=self.dtype, name="stem_conv")(x)
+        x = LayerNorm6(dtype=self.dtype, name="stem_norm")(x)
+        for s in range(len(self.depths)):
+            if s > 0:
+                x = LayerNorm6(dtype=self.dtype, name=f"downsample{s}_norm")(x)
+                x = Conv2dTorch(self.dims[s], 2, stride=2, dtype=self.dtype, name=f"downsample{s}_conv")(x)
+            for b in range(self.depths[s]):
+                x = ConvNeXtBlock(self.dims[s], dtype=self.dtype, name=f"stage{s}_block{b}")(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        return LayerNorm6(dtype=self.dtype, name="head_norm")(x)
+
+
+def convnext_tiny(dtype=None) -> ConvNeXt:
+    return ConvNeXt(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768), dtype=dtype)

@@ -101,6 +101,7 @@ class SpectraNetModule(nn.Module):
     head_dropout: float = 0.5
     redshift: bool = False
     redshift_softplus: bool = False
+    embedding: bool = False  # fusion mode: return the pre-classifier hidden
     conv_mode: str = "auto"
     dtype: Optional[jnp.dtype] = None
 
@@ -127,6 +128,8 @@ class SpectraNetModule(nn.Module):
         h = Linear(self.head_hidden, name="head_fc1")(x)
         h = LayerNorm(name="head_norm")(h)
         h = gelu_exact(h)
+        if self.embedding:
+            return h
         h = nn.Dropout(self.head_dropout)(h, deterministic=deterministic)
         out_dim = 1 if self.redshift else self.num_classes
         out = Linear(out_dim, name="head_fc2")(h)

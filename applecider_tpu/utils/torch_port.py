@@ -126,6 +126,73 @@ def spectranet_params(sd: dict, depths, n_kernels_per_stage) -> dict:
     return params
 
 
+def convnext_params(sd: dict, depths, prefix: str = "") -> dict:
+    """ConvNeXt torch state_dict (tests/torch_refs.py layout) -> flax params.
+
+    Depthwise Conv2d weight (C, 1, k, k) maps to flax kernel (k, k, 1, C)
+    like any conv — feature_group_count handles the grouping.
+    """
+    p = prefix
+    params = {
+        "stem_conv": conv2d_params(sd, f"{p}stem_conv"),
+        "stem_norm": _ln(sd, f"{p}stem_norm"),
+        "head_norm": _ln(sd, f"{p}head_norm"),
+    }
+    for s in range(len(depths)):
+        if s > 0:
+            params[f"downsample{s}_norm"] = _ln(sd, f"{p}downsamples.{s-1}.norm")
+            params[f"downsample{s}_conv"] = conv2d_params(sd, f"{p}downsamples.{s-1}.conv")
+        for b in range(int(depths[s])):
+            bp = f"{p}stages.{s}.{b}"
+            params[f"stage{s}_block{b}"] = {
+                "dwconv": conv2d_params(sd, f"{bp}.dwconv"),
+                "norm": _ln(sd, f"{bp}.norm"),
+                "pwconv1": _lin(sd, f"{bp}.pwconv1"),
+                "pwconv2": _lin(sd, f"{bp}.pwconv2"),
+                "gamma": sd[f"{bp}.gamma"],
+            }
+    return params
+
+
+def residual_tower_params(sd: dict, prefix: str, has_skip: bool) -> dict:
+    out = {
+        "start": _lin(sd, f"{prefix}.start"),
+        "gate_norm": _ln(sd, f"{prefix}.gate_norm"),
+        "gate_fc": _lin(sd, f"{prefix}.gate_fc"),
+        "main_norm": _ln(sd, f"{prefix}.main_norm"),
+        "main_fc": _lin(sd, f"{prefix}.main_fc"),
+    }
+    if has_skip:
+        out["skip"] = _lin(sd, f"{prefix}.skip")
+    return out
+
+
+def astrominn_params(sd: dict, backbone_depths, num_experts: int = 4) -> dict:
+    """AstroMiNN torch state_dict (tests/torch_refs.py layout) -> flax params."""
+    params: dict = {}
+    for tower in (
+        "nst1_tower", "nst2_tower", "spatial_tower", "psf_tower",
+        "mag_tower", "coord_tower", "mega_tower", "lc_tower",
+    ):
+        params[tower] = residual_tower_params(sd, tower, has_skip=f"{tower}.skip.weight" in sd)
+    params["image_tower"] = {
+        "backbone": convnext_params(sd, backbone_depths, prefix="image_tower.backbone."),
+        "main_norm": _ln(sd, "image_tower.main_norm"),
+        "main_fc1": _lin(sd, "image_tower.main_fc1"),
+        "main_fc2": _lin(sd, "image_tower.main_fc2"),
+        "main_fc3": _lin(sd, "image_tower.main_fc3"),
+        "aux_norm": _ln(sd, "image_tower.aux_norm"),
+        "aux_fc": _lin(sd, "image_tower.aux_fc"),
+    }
+    params["router_fc1"] = _lin(sd, "router_fc1")
+    params["router_fc2"] = _lin(sd, "router_fc2")
+    for i in range(num_experts):
+        params[f"expert_{i}"] = residual_tower_params(
+            sd, f"experts.{i}", has_skip=f"experts.{i}.skip.weight" in sd
+        )
+    return params
+
+
 def mpt_to_classifier_warmstart(mpt_flax_params: dict) -> dict:
     """Weight surgery: MPT trunk -> fresh classifier warm start.
 

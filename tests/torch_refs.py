@@ -133,5 +133,163 @@ class TorchSpectraNet(nn.Module):
         return self.classifier(x)
 
 
+class TorchConvNeXtBlock(nn.Module):
+    def __init__(self, dim, ls_init=1e-6):
+        super().__init__()
+        self.dwconv = nn.Conv2d(dim, dim, kernel_size=7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.pwconv1 = nn.Linear(dim, 4 * dim)
+        self.pwconv2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(ls_init * torch.ones(dim))
+
+    def forward(self, x):  # NCHW
+        inp = x
+        x = self.dwconv(x).permute(0, 2, 3, 1)  # NHWC
+        x = self.norm(x)
+        x = self.pwconv2(F.gelu(self.pwconv1(x)))
+        x = (self.gamma * x).permute(0, 3, 1, 2)
+        return inp + x
+
+
+class TorchConvNeXt(nn.Module):
+    """ConvNeXt feature extractor oracle (published architecture)."""
+
+    def __init__(self, depths=(2, 2), dims=(16, 32), in_chans=3):
+        super().__init__()
+        self.stem_conv = nn.Conv2d(in_chans, dims[0], kernel_size=4, stride=4)
+        self.stem_norm = nn.LayerNorm(dims[0], eps=1e-6)
+        self.stages = nn.ModuleList()
+        self.downsamples = nn.ModuleList()
+        for s in range(len(depths)):
+            if s > 0:
+                self.downsamples.append(
+                    nn.ModuleDict(
+                        {
+                            "norm": nn.LayerNorm(dims[s - 1], eps=1e-6),
+                            "conv": nn.Conv2d(dims[s - 1], dims[s], kernel_size=2, stride=2),
+                        }
+                    )
+                )
+            self.stages.append(nn.ModuleList([TorchConvNeXtBlock(dims[s]) for _ in range(depths[s])]))
+        self.head_norm = nn.LayerNorm(dims[-1], eps=1e-6)
+
+    def forward(self, x):  # NCHW in
+        x = self.stem_conv(x)
+        x = self.stem_norm(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        for s, blocks in enumerate(self.stages):
+            if s > 0:
+                ds = self.downsamples[s - 1]
+                x = ds["norm"](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+                x = ds["conv"](x)
+            for b in blocks:
+                x = b(x)
+        x = x.mean(dim=(2, 3))
+        return self.head_norm(x)
+
+
+class TorchResidualTower(nn.Module):
+    """Gated-residual MLP tower (reference ResidualTowerBlock semantics)."""
+
+    def __init__(self, in_dim, hidden, out_dim, dropout=0.25):
+        super().__init__()
+        self.start = nn.Linear(in_dim, hidden)
+        self.gate_norm = nn.LayerNorm(hidden)
+        self.gate_fc = nn.Linear(hidden, out_dim)
+        self.main_norm = nn.LayerNorm(hidden)
+        self.main_fc = nn.Linear(hidden, out_dim)
+        self.drop = nn.Dropout(dropout)
+        self.skip = nn.Linear(in_dim, out_dim) if in_dim != out_dim else nn.Identity()
+
+    def forward(self, x):
+        h = F.gelu(self.start(x))
+        g = torch.sigmoid(self.gate_fc(self.drop(self.gate_norm(h))))
+        m = self.main_fc(self.drop(self.main_norm(h)))
+        return m * g + self.skip(x)
+
+
+class TorchSplitHeadImageTower(nn.Module):
+    def __init__(self, outdims, depths=(1, 1), dims=(8, 16)):
+        super().__init__()
+        self.backbone = TorchConvNeXt(depths=depths, dims=dims, in_chans=3)
+        f = dims[-1]
+        self.main_norm = nn.LayerNorm(f)
+        self.main_fc1 = nn.Linear(f, f // 2)
+        self.main_fc2 = nn.Linear(f // 2, f)
+        self.main_fc3 = nn.Linear(f, outdims)
+        self.aux_norm = nn.LayerNorm(f)
+        self.aux_fc = nn.Linear(f, outdims)
+        self.drop = nn.Dropout(0.4)
+
+    def forward(self, x):
+        feats = self.backbone(x)
+        m = self.main_norm(F.gelu(feats))
+        m = self.main_fc3(self.main_fc2(self.drop(F.relu(self.main_fc1(m)))))
+        a = torch.tanh(self.aux_fc(self.aux_norm(feats)))
+        return m * a
+
+
+class TorchAstroMiNN(nn.Module):
+    """Image+metadata MoE oracle with the masked-loop top-2 dispatch."""
+
+    SLICES = {
+        "nst1_tower": [0, 2],
+        "nst2_tower": [1, 3],
+        "spatial_tower": [2, 3, 4],
+        "psf_tower": [5, 14],
+        "mag_tower": [6, 9, 10, 13, 15, 17, 18],
+        "coord_tower": [7, 8],
+        "mega_tower": list(range(19)),
+        "lc_tower": [6, 9, 10, 13, 15, 17, 18, 19, 20, 21, 22, 23],
+    }
+
+    def __init__(self, th=16, to=32, fo=32, fusion_hidden=128, num_experts=4,
+                 moe_out=5, backbone_dims=(8, 16), backbone_depths=(1, 1)):
+        super().__init__()
+        S = self.SLICES
+        self.nst1_tower = TorchResidualTower(len(S["nst1_tower"]), th, fo)
+        self.nst2_tower = TorchResidualTower(len(S["nst2_tower"]), th, fo)
+        self.spatial_tower = TorchResidualTower(len(S["spatial_tower"]), th, to)
+        self.psf_tower = TorchResidualTower(len(S["psf_tower"]), th, to)
+        self.mag_tower = TorchResidualTower(len(S["mag_tower"]), th * 2, to)
+        self.coord_tower = TorchResidualTower(len(S["coord_tower"]), th, fo)
+        self.mega_tower = TorchResidualTower(len(S["mega_tower"]), 128, to)
+        self.lc_tower = TorchResidualTower(len(S["lc_tower"]), th * 3, to)
+        self.image_tower = TorchSplitHeadImageTower(to, depths=backbone_depths, dims=backbone_dims)
+        fusion_dims = 6 * to + 3 * fo
+        self.router_fc1 = nn.Linear(fusion_dims, fusion_dims // 2)
+        self.router_fc2 = nn.Linear(fusion_dims // 2, num_experts)
+        self.router_drop = nn.Dropout(0.3)
+        self.experts = nn.ModuleList(
+            [TorchResidualTower(fusion_dims, fusion_hidden, moe_out) for _ in range(num_experts)]
+        )
+        self.moe_out = moe_out
+
+    def forward(self, metadata, image):
+        S = self.SLICES
+        feats = torch.cat(
+            [
+                self.nst1_tower(metadata[:, S["nst1_tower"]]),
+                self.nst2_tower(metadata[:, S["nst2_tower"]]),
+                self.spatial_tower(metadata[:, S["spatial_tower"]]),
+                self.psf_tower(metadata[:, S["psf_tower"]]),
+                self.mag_tower(metadata[:, S["mag_tower"]]),
+                self.coord_tower(metadata[:, S["coord_tower"]]),
+                self.mega_tower(metadata[:, S["mega_tower"]]),
+                self.image_tower(image),
+                self.lc_tower(metadata[:, S["lc_tower"]]),
+            ],
+            dim=1,
+        )
+        w = torch.sigmoid(self.router_fc2(self.router_drop(torch.tanh(self.router_fc1(feats)))))
+        out = torch.zeros(metadata.shape[0], self.moe_out)
+        topk_w, topk_i = torch.topk(w, k=2, dim=-1)
+        for e_idx, expert in enumerate(self.experts):
+            mask = (topk_i == e_idx).any(dim=-1)
+            if mask.any():
+                weights = topk_w[mask, (topk_i[mask] == e_idx).nonzero()[:, 1]]
+                out[mask] += weights.unsqueeze(-1) * expert(feats[mask])
+        return out
+
+
 def state_dict_numpy(model: nn.Module) -> dict:
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}
