@@ -1,0 +1,90 @@
+"""Seeded host-side batcher with background prefetch.
+
+Replaces the torch DataLoader the reference gets from Hyrax: datasets
+expose ``sample(idx) -> dict`` and ``collate(list[dict]) -> {"data": ...}``;
+this loader shuffles with a per-epoch seeded RNG, batches with optional
+drop-last, and overlaps host assembly with device compute via a small
+thread prefetcher (the TPU input pipeline pattern).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 32,
+        shuffle: bool = True,
+        seed: int = 42,
+        drop_last: bool = False,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = int(seed)
+        self.drop_last = drop_last
+        self.prefetch = int(prefetch)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self) -> list[np.ndarray]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        batches = [idx[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def _make_batch(self, indices: np.ndarray) -> dict:
+        samples = [self.dataset.sample(int(i)) for i in indices]
+        return self.dataset.collate(samples)
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._batch_indices()
+        self._epoch += 1
+        if self.prefetch <= 0:
+            for b in batches:
+                yield self._make_batch(b)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: list[BaseException] = []
+
+        def producer():
+            try:
+                for b in batches:
+                    q.put(self._make_batch(b))
+            except BaseException as e:  # surfaced in the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item

@@ -1,0 +1,106 @@
+"""Spectra table dataset.
+
+Behavioral contract from the reference
+(``src/applecider/datasets/spectra_dataset.py:7-83``): a table of
+{flux, labels, redshifts, file_paths} with the 9-class label-string map;
+getters return flux with a channel dim, integer label, redshift.
+
+Native format is an ``.npz`` table; the reference's ``torch.load`` ``.pt``
+tables are also accepted (gated on torch being importable).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from applecider_tpu.registry import register_dataset
+
+LABEL_STRINGS = {
+    "AGN": 0,
+    "Cataclysmic": 1,
+    "SN IIP": 2,
+    "SN IIb": 3,
+    "SN IIn": 4,
+    "SN Ia": 5,
+    "SN Ib": 6,
+    "SN Ic": 7,
+    "Tidal Disruption Event": 8,
+}
+
+
+def _load_table(path: str | Path) -> dict:
+    path = Path(path)
+    if path.suffix == ".pt":
+        import torch
+
+        table = torch.load(path, weights_only=False)
+        return {
+            "flux": np.asarray(
+                [t.numpy() if hasattr(t, "numpy") else np.asarray(t) for t in table["flux"]]
+            ),
+            "labels": list(table["labels"]),
+            "redshifts": np.asarray(table["redshifts"], np.float32),
+            "file_paths": list(table.get("file_paths", [])),
+        }
+    with np.load(path, allow_pickle=True) as npz:
+        return {
+            "flux": npz["flux"],
+            "labels": list(npz["labels"]),
+            "redshifts": np.asarray(npz["redshifts"], np.float32),
+            "file_paths": list(npz.get("file_paths", [])),
+        }
+
+
+@register_dataset(name="SpectraDataset")
+@register_dataset(name="SpectraData")
+class SpectraDataset:
+    SECTION = "applecider_tpu.datasets.spectra_dataset.SpectraDataset"
+
+    def __init__(self, config, data_location):
+        table = _load_table(data_location)
+        self._flux = np.asarray(table["flux"], np.float32)
+        if self._flux.ndim == 3:  # stored with channel dim
+            self._flux = self._flux[:, 0, :]
+        self._labels = table["labels"]
+        self._label_idx = np.asarray(
+            [LABEL_STRINGS[str(label)] for label in self._labels], np.int32
+        )
+        self._redshifts = table["redshifts"]
+        self._file_paths = table["file_paths"]
+
+    def __len__(self) -> int:
+        return len(self._flux)
+
+    def ids(self):
+        return np.arange(len(self._flux))
+
+    def get_object_id(self, idx: int) -> int:
+        return int(idx)
+
+    def get_flux(self, idx: int) -> np.ndarray:
+        return self._flux[idx][None, :]  # add channel dim like the reference
+
+    def get_label(self, idx: int) -> int:
+        return int(self._label_idx[idx])
+
+    def get_redshift(self, idx: int) -> float:
+        return float(self._redshifts[idx])
+
+    def sample(self, idx: int) -> dict:
+        return {
+            "flux": self._flux[idx],
+            "label": self.get_label(idx),
+            "redshift": self.get_redshift(idx),
+        }
+
+    @staticmethod
+    def collate(samples: list[dict]) -> dict:
+        return {
+            "data": {
+                "flux": np.stack([s["flux"] for s in samples]),
+                "label": np.asarray([s["label"] for s in samples], np.int32),
+                "redshift": np.asarray([s["redshift"] for s in samples], np.float32),
+            }
+        }

@@ -162,7 +162,17 @@ def make_splits_from_manifest(
     if can_stratify:
         from sklearn.model_selection import train_test_split
 
-        tr, rest = train_test_split(ids, train_size=train_frac, stratify=labels, random_state=seed)
+        try:
+            tr, rest = train_test_split(
+                ids, train_size=train_frac, stratify=labels, random_state=seed
+            )
+        except ValueError:
+            # corpus too small relative to the class count (sklearn requires
+            # each side >= n_classes); degrade to seeded random regardless of
+            # strict_stratify — this is a size artifact, not a feasibility one
+            can_stratify = False
+            strict_stratify = False
+    if can_stratify:
         rest_labels = filtered.set_index("object_id").loc[rest, "label_str"]
         remainder = 1.0 - train_frac
         val_share = val_frac / remainder

@@ -1,0 +1,173 @@
+"""Datasets: oversampler semantics, loaders, all four dataset families."""
+
+import numpy as np
+import pytest
+
+from applecider_tpu.config import load_defaults
+from applecider_tpu.datasets.fusion_dataset import FusionDataset
+from applecider_tpu.datasets.image_metadata_dataset import ImageAndMetadataDataset
+from applecider_tpu.datasets.loader import DataLoader
+from applecider_tpu.datasets.oversampler import Oversampler, oversampling_targets
+from applecider_tpu.datasets.photo_dataset import (
+    PhotoEventsDataset,
+    compute_photo_feature_stats,
+)
+from applecider_tpu.datasets.spectra_dataset import SpectraDataset
+from applecider_tpu.preprocessing.alert_samples import build_alert_samples
+from applecider_tpu.preprocessing.cli import preprocess_data
+from applecider_tpu.testing import make_corpus
+
+
+# ------------------------------------------------------------- oversampler
+def test_targets_largest_remainder():
+    targets = oversampling_targets([0.3, 0.1, 0.1, 0.3, 0.1], [100, 10, 10, 100, 10])
+    assert (targets >= np.array([100, 10, 10, 100, 10])).all()
+    p = targets / targets.sum()
+    ideal = np.array([0.3, 0.1, 0.1, 0.3, 0.1]) / 0.9
+    np.testing.assert_allclose(p, ideal, atol=0.02)
+
+
+def test_oversampler_map_covers_all_and_reproducible():
+    labels = np.array([0] * 50 + [1] * 5 + [2] * 5)
+    a = Oversampler([0.5, 0.25, 0.25], labels, seed=7)
+    b = Oversampler([0.5, 0.25, 0.25], labels, seed=7)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a.index_map, b.index_map)
+    # every original index appears at least once
+    assert set(a.index_map) == set(range(60))
+    resolved = [a.resolve(i) for i in range(len(a))]
+    n_oversampled = sum(1 for _, f in resolved if f)
+    assert n_oversampled == len(a) - 60
+
+
+# ------------------------------------------------------- end-to-end fixture
+@pytest.fixture(scope="module")
+def prepared(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    data_dir, labels_csv = make_corpus(root, n_objects=12, seed=11, n_photometry=20, n_alerts=5)
+    out = root / "out"
+    preprocess_data(str(data_dir), str(labels_csv), str(out), min_per_class=1, seed=42)
+    return out
+
+
+def test_photo_dataset(prepared):
+    cfg = load_defaults()
+    sec = f'data_set."{PhotoEventsDataset.SECTION}"'
+    cfg.set(f"{sec}.manifest_path", str(prepared / "manifest_train.csv"))
+    stats_path = prepared / "photo_stats.npz"
+    compute_photo_feature_stats(prepared / "manifest_train.csv", 100.0, stats_path)
+    cfg.set(f"{sec}.stats_path", str(stats_path))
+    cfg.set(f"{sec}.use_oversampling", True)
+
+    ds = PhotoEventsDataset(cfg)
+    assert len(ds) >= len(ds.manifest)
+    s = ds.sample(0)
+    assert s["photometry"].shape[1] == 7
+    assert 0 <= s["label"] < 5
+
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=1, drop_last=True)
+    batch = next(iter(loader))["data"]
+    assert batch["photometry"].shape == (4, 257, 7)
+    assert batch["pad_mask"].shape == (4, 257)
+    assert batch["pad_mask"].dtype == bool
+    # valid rows unmasked, padding masked
+    lengths = (~batch["pad_mask"]).sum(axis=1)
+    assert (lengths > 0).all()
+
+
+def test_loader_deterministic(prepared):
+    cfg = load_defaults()
+    sec = f'data_set."{PhotoEventsDataset.SECTION}"'
+    cfg.set(f"{sec}.manifest_path", str(prepared / "manifest_train.csv"))
+    cfg.set(f"{sec}.use_oversampling", False)
+    ds = PhotoEventsDataset(cfg)
+    l1 = DataLoader(ds, batch_size=2, shuffle=True, seed=5, prefetch=0)
+    l2 = DataLoader(ds, batch_size=2, shuffle=True, seed=5, prefetch=0)
+    b1 = next(iter(l1))["data"]["label"]
+    b2 = next(iter(l2))["data"]["label"]
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_image_metadata_dataset(prepared, tmp_path):
+    samples_dir = tmp_path / "alert_samples"
+    index = build_alert_samples(prepared / "manifest_train.csv", samples_dir)
+    assert len(index) > 0
+
+    cfg = load_defaults()
+    sec = f'data_set."{ImageAndMetadataDataset.SECTION}"'
+    cfg.set(f"{sec}.use_oversampling", False)
+    ds = ImageAndMetadataDataset(cfg, samples_dir)
+    assert len(ds) == len(index)
+    s = ds.sample(0)
+    assert s["image"].shape == (3, 63, 63)
+    assert s["metadata"].shape == (24,)
+    assert s["target"].shape == (5,) and s["target"].sum() == 1.0
+    # fine-grained target
+    rt = ds.get_real_target(0)
+    assert rt.shape == (9,)
+
+    # center crop
+    cfg.set(f"{sec}.cutout_size", 49)
+    ds2 = ImageAndMetadataDataset(cfg, samples_dir)
+    assert ds2.get_image(0).shape == (3, 49, 49)
+
+    # L2 norm
+    cfg.set(f"{sec}.cutout_size", 63)
+    cfg.set(f"{sec}.image_norm", "L2")
+    ds3 = ImageAndMetadataDataset(cfg, samples_dir)
+    np.testing.assert_allclose(np.linalg.norm(ds3.get_image(0)), 1.0, rtol=1e-5)
+
+
+def test_spectra_dataset(tmp_path, rng):
+    n = 10
+    flux = rng.normal(size=(n, 64)).astype(np.float32)
+    labels = [list({"AGN": 0, "SN Ia": 5}.keys())[i % 2] for i in range(n)]
+    np.savez(
+        tmp_path / "table.npz",
+        flux=flux,
+        labels=np.asarray(labels, object),
+        redshifts=rng.uniform(0, 2, n).astype(np.float32),
+        file_paths=np.asarray([f"f{i}" for i in range(n)], object),
+    )
+    ds = SpectraDataset(load_defaults(), tmp_path / "table.npz")
+    assert len(ds) == n
+    assert ds.get_flux(0).shape == (1, 64)
+    assert ds.get_label(0) in (0, 5)
+    batch = SpectraDataset.collate([ds.sample(i) for i in range(4)])["data"]
+    assert batch["flux"].shape == (4, 64)
+
+
+def test_spectra_dataset_pt_table(tmp_path, rng):
+    import torch
+
+    n = 6
+    table = {
+        "flux": [torch.randn(32) for _ in range(n)],
+        "labels": ["AGN"] * n,
+        "redshifts": [0.1] * n,
+        "file_paths": [f"f{i}" for i in range(n)],
+    }
+    torch.save(table, tmp_path / "table.pt")
+    ds = SpectraDataset(load_defaults(), tmp_path / "table.pt")
+    assert len(ds) == n
+
+
+def test_fusion_dataset(prepared):
+    cfg = load_defaults()
+    sec = f'data_set."{FusionDataset.SECTION}"'
+    cfg.set(f"{sec}.manifest_path", str(prepared / "manifest_train.csv"))
+    ds = FusionDataset(cfg)
+    s = ds.sample(0)
+    assert s["photometry"].shape[1] == 7
+    assert s["metadata"].shape == (24,)
+    assert s["image"].shape == (3, 63, 63)
+    assert s["spectrum"].shape == (3481,)
+
+    loader = DataLoader(ds, batch_size=2, shuffle=False, prefetch=0)
+    batch = next(iter(loader))["data"]
+    assert batch["photometry"].shape[0] == 2
+    assert batch["spectrum"].shape == (2, 3481)
+
+    # per-alert mode yields more rows
+    ds2 = FusionDataset(cfg, mode="per_alert")
+    assert len(ds2) >= len(ds)
