@@ -1,0 +1,6 @@
+from applecider_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)

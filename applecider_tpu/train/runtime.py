@@ -1,0 +1,186 @@
+"""Config-driven run verbs: prepare / train / infer / export / engine.
+
+Re-provides the Hyrax runtime surface the reference depends on
+(``Hyrax(config_file).prepare()/train()/infer()/to_onnx()/engine()``, cf.
+``docs/pre_executed/testing/baselineCLS_example.py``) without Hyrax:
+
+* TOML-driven model + per-phase dataset binding
+  (``[model_inputs.<phase>.data]`` with dataset_class / data_location);
+* programmatic overrides via ``set_config("model.X.key", value)``;
+* timestamped output directories; ``infer`` resolves the most recently
+  trained run's weights, like Hyrax;
+* ``export``/``engine``: the ONNX story is replaced by jax.export
+  (serialized StableHLO + orbax params) — portable, runtime-loadable,
+  and exactly what a TPU/any-XLA serving stack consumes. ``to_onnx`` is
+  aliased to ``export`` for API familiarity.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from applecider_tpu.config import Config, load_config
+from applecider_tpu.datasets.loader import DataLoader
+from applecider_tpu.registry import get_dataset_class, get_model
+from applecider_tpu.train.trainer import Trainer
+
+
+class AppleCiderRuntime:
+    def __init__(self, config_file=None, overrides=None, workdir: str | Path | None = None):
+        self.config: Config = load_config(config_file, overrides)
+        self.workdir = Path(workdir or self.config.get_path("run.output_dir", default="./results"))
+        self.datasets: dict = {}
+        self._run_dir: Optional[Path] = None
+
+    # Hyrax-compatible config mutation
+    def set_config(self, path: str, value):
+        self.config.set(path, value)
+
+    # ----------------------------------------------------------- components
+    def _task(self):
+        name = self.config.get_path("model.name", default="BaselineCLS")
+        return get_model(name)(self.config)
+
+    def _dataset(self, phase: str):
+        section = self.config.section("model_inputs", phase, "data")
+        cls_name = section.get("dataset_class")
+        if not cls_name:
+            raise KeyError(f"[model_inputs.{phase}.data].dataset_class not set")
+        ds_cls = get_dataset_class(cls_name)
+        location = section.get("data_location") or None
+        return ds_cls(self.config, location) if location else ds_cls(self.config)
+
+    def _loader(self, dataset, shuffle: bool) -> DataLoader:
+        dl = self.config.section("data_loader")
+        return DataLoader(
+            dataset,
+            batch_size=int(dl.get("batch_size", 32)),
+            shuffle=shuffle and bool(dl.get("shuffle", True)),
+            seed=int(dl.get("seed", 42)),
+            drop_last=bool(dl.get("drop_last", False)),
+        )
+
+    # ---------------------------------------------------------------- verbs
+    def prepare(self) -> dict:
+        """Instantiate the datasets bound to each configured phase."""
+        for phase in ("train", "validate", "infer"):
+            section = self.config.section("model_inputs", phase, "data")
+            if section.get("dataset_class"):
+                self.datasets[phase] = self._dataset(phase)
+        return self.datasets
+
+    def _new_run_dir(self, verb: str) -> Path:
+        stamp = _dt.datetime.now().strftime("%Y%m%d-%H%M%S-%f")
+        name = str(self.config.get_path("model.name", default="model")).split(".")[-1]
+        run_dir = self.workdir / f"{stamp}-{verb}-{name}"
+        run_dir.mkdir(parents=True, exist_ok=True)
+        (run_dir / "run.json").write_text(
+            json.dumps({"verb": verb, "model": name, "timestamp": stamp})
+        )
+        return run_dir
+
+    def _latest_run_dir(self) -> Path:
+        candidates = sorted(
+            d for d in self.workdir.glob("*-train-*") if (d / "checkpoints").exists()
+        )
+        if not candidates:
+            raise FileNotFoundError(f"no trained run under {self.workdir}")
+        return candidates[-1]
+
+    def train(self) -> dict:
+        if "train" not in self.datasets:
+            self.prepare()
+        task = self._task()
+        self._run_dir = self._new_run_dir("train")
+        trainer = Trainer(task, self.config, self._run_dir)
+        train_loader = self._loader(self.datasets["train"], shuffle=True)
+        val_loader = (
+            self._loader(self.datasets["validate"], shuffle=False)
+            if "validate" in self.datasets
+            else None
+        )
+        results = trainer.fit(train_loader, val_loader)
+        results["run_dir"] = self._run_dir
+        return results
+
+    def _restore_latest_params(self, task):
+        run_dir = self._run_dir or self._latest_run_dir()
+        trainer = Trainer(task, self.config, run_dir)
+        # rebuild abstract state from a fresh init to restore against
+        ds = self.datasets.get("infer") or self.datasets.get("train")
+        loader = self._loader(ds, shuffle=False)
+        batch0 = task.to_tensor(next(iter(loader)))
+        variables = task.init(jax.random.PRNGKey(0), batch0)
+        from applecider_tpu.train.trainer import TrainState
+
+        state = TrainState(variables["params"], trainer.tx.init(variables["params"]))
+        tag = "best" if (run_dir / "checkpoints" / "best").exists() else "last"
+        state, _ = trainer.restore_checkpoint(state, tag=tag)
+        return state.params, trainer, loader
+
+    def infer(self) -> np.ndarray:
+        """Run inference with the most recently trained weights."""
+        if not self.datasets:
+            self.prepare()
+        task = self._task()
+        params, trainer, loader = self._restore_latest_params(task)
+        out_dir = self._new_run_dir("infer")
+        preds = trainer.predict(params, loader)
+        np.save(out_dir / "predictions.npy", preds)
+        return preds
+
+    # ------------------------------------------------------------- export
+    def export(self, out_path: str | Path | None = None) -> Path:
+        """Serialize the jitted inference function (StableHLO) + params."""
+        if not self.datasets:
+            self.prepare()
+        task = self._task()
+        params, trainer, loader = self._restore_latest_params(task)
+        out_path = Path(out_path) if out_path else self._new_run_dir("export")
+        out_path.mkdir(parents=True, exist_ok=True)
+
+        batch0 = task.to_tensor(next(iter(loader)))
+
+        def infer_fn(params, *batch):
+            return task.predict(params, batch)
+
+        exported = jax.export.export(jax.jit(infer_fn))(
+            params, *[jax.ShapeDtypeStruct(np.asarray(b).shape, np.asarray(b).dtype)
+                      for b in batch0]
+        )
+        (out_path / "model.stablehlo").write_bytes(exported.serialize())
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save((out_path / "params").absolute(), params, force=True)
+        ckptr.wait_until_finished()
+        return out_path
+
+    # keep the reference verb name alive
+    to_onnx = export
+
+    def engine(self, export_dir: str | Path | None = None) -> np.ndarray:
+        """Load an exported artifact and run it over the infer dataset."""
+        if not self.datasets:
+            self.prepare()
+        task = self._task()
+        export_dir = Path(export_dir) if export_dir else sorted(self.workdir.glob("*-export-*"))[-1]
+        exported = jax.export.deserialize((export_dir / "model.stablehlo").read_bytes())
+
+        import orbax.checkpoint as ocp
+
+        loader = self._loader(self.datasets.get("infer") or self.datasets.get("train"), shuffle=False)
+        batch0 = task.to_tensor(next(iter(loader)))
+        variables = task.init(jax.random.PRNGKey(0), batch0)
+        ckptr = ocp.StandardCheckpointer()
+        params = ckptr.restore((export_dir / "params").absolute(), variables["params"])
+
+        outs = [np.asarray(exported.call(params, *task.to_tensor(b))) for b in loader]
+        return np.concatenate(outs)

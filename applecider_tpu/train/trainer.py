@@ -1,0 +1,218 @@
+"""Training loop: jit-compiled steps, evaluation, checkpointing, early stop.
+
+Re-provides the reference's run orchestration (Hyrax/pytorch-ignite epochs
+plus the archived in-repo ``Trainer``,
+``_archive/AppleCider/core/trainer.py:15-354``) as a functional TPU loop:
+
+* one jitted ``train_step`` (value_and_grad + optax, grad-clip composed in)
+  reused for every batch; the host loop only feeds sharded batches;
+* evaluation pass producing the full metric suite
+  (``applecider_tpu.ops.metrics.classification_report``);
+* early stopping on val loss + best-checkpoint tracking (by val accuracy,
+  like the reference), EMA option;
+* orbax checkpointing of the FULL train state (params, opt_state, step,
+  epoch) with resume — an upgrade over the reference's weights-only
+  ``torch.save`` (no optimizer/step resume there).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from applecider_tpu.ops.metrics import classification_report
+from applecider_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from applecider_tpu.train.optim import EMA, EarlyStopping, with_grad_clip
+
+
+class TrainState:
+    """Plain pytree-of-arrays train state (kept simple for orbax)."""
+
+    def __init__(self, params, opt_state, step: int = 0):
+        self.params = params
+        self.opt_state = opt_state
+        self.step = step
+
+    def as_pytree(self) -> dict:
+        return {"params": self.params, "opt_state": self.opt_state, "step": self.step}
+
+
+class Trainer:
+    def __init__(self, task, config, workdir: str | Path, mesh=None):
+        self.task = task
+        self.config = config
+        self.workdir = Path(workdir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+        if mesh is None:
+            shape = tuple(config.get_path("parallel.mesh_shape", default=[-1, 1]))
+            axes = tuple(config.get_path("parallel.mesh_axes", default=["data", "model"]))
+            mesh = make_mesh(shape=shape, axes=axes)
+        self.mesh = mesh
+        self.tx = with_grad_clip(task.make_optimizer(), task.grad_clip)
+        self._train_step = None
+        self._log_file = self.workdir / "metrics.jsonl"
+
+        ema_decay = float(config.get_path("train.ema_decay", default=0.0))
+        self.ema = EMA(ema_decay) if ema_decay > 0 else None
+
+    # ------------------------------------------------------------- jit steps
+    def _build_train_step(self):
+        task, tx = self.task, self.tx
+
+        @jax.jit
+        def train_step(params, opt_state, batch, rng):
+            (loss, aux), grads = jax.value_and_grad(task.loss_fn, has_aux=True)(
+                params, batch, rng, True
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, aux["metrics"]
+
+        return train_step
+
+    # ---------------------------------------------------------- orbax io
+    def _ckpt_dir(self) -> Path:
+        return self.workdir / "checkpoints"
+
+    def save_checkpoint(self, state: TrainState, epoch: int, tag: str = "last"):
+        import orbax.checkpoint as ocp
+
+        path = (self._ckpt_dir() / f"{tag}").absolute()
+        ckptr = ocp.StandardCheckpointer()
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(epoch),
+        }
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, init_state: TrainState, tag: str = "last") -> tuple[TrainState, int]:
+        import orbax.checkpoint as ocp
+
+        path = (self._ckpt_dir() / f"{tag}").absolute()
+        if not path.exists():
+            return init_state, 0
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "params": init_state.params,
+            "opt_state": init_state.opt_state,
+            "step": np.asarray(init_state.step),
+            "epoch": np.asarray(0),
+        }
+        restored = ckptr.restore(path, target)
+        state = TrainState(restored["params"], restored["opt_state"], int(restored["step"]))
+        return state, int(restored["epoch"]) + 1
+
+    # -------------------------------------------------------------- logging
+    def _log(self, record: dict):
+        record = {k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+                  for k, v in record.items()}
+        with open(self._log_file, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, train_loader, val_loader=None, epochs: Optional[int] = None) -> dict:
+        cfg = self.config
+        epochs = epochs or int(cfg.get_path("train.epochs", default=10))
+        seed = int(cfg.get_path("train.seed", default=42))
+        patience = int(cfg.get_path("train.early_stop_patience", default=30))
+
+        rng = jax.random.PRNGKey(seed)
+        first = next(iter(train_loader))
+        batch0 = self.task.to_tensor(first)
+        rng, init_rng = jax.random.split(rng)
+        variables = self.task.init(init_rng, batch0)
+        state = TrainState(variables["params"], self.tx.init(variables["params"]))
+
+        start_epoch = 0
+        if bool(cfg.get_path("checkpoint.resume", default=True)):
+            state, start_epoch = self.restore_checkpoint(state)
+
+        state.params = replicate(state.params, self.mesh)
+        state.opt_state = replicate(state.opt_state, self.mesh)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        if self.ema is not None:
+            self.ema.init(state.params)
+
+        stopper = EarlyStopping(patience)
+        best_metric = -np.inf
+        history = []
+        for epoch in range(start_epoch, epochs):
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            losses = []
+            for host_batch in train_loader:
+                batch = shard_batch(self.task.to_tensor(host_batch), self.mesh)
+                rng, step_rng = jax.random.split(rng)
+                state.params, state.opt_state, metrics = self._train_step(
+                    state.params, state.opt_state, batch, step_rng
+                )
+                state.step += 1
+                losses.append(metrics["loss"])
+                if self.ema is not None:
+                    self.ema.update(state.params)
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+            record = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "steps": state.step,
+                "epoch_seconds": time.time() - t0,
+            }
+            if val_loader is not None:
+                val = self.evaluate(state.params, val_loader)
+                record.update({f"val_{k}": v for k, v in val.items()
+                               if isinstance(v, (int, float, np.floating))})
+                monitor = val.get("accuracy", -val.get("loss", 0.0))
+                if monitor > best_metric:
+                    best_metric = monitor
+                    self.save_checkpoint(state, epoch, tag="best")
+                should_stop = stopper.step(val.get("loss", train_loss))
+            else:
+                should_stop = False
+            self._log(record)
+            history.append(record)
+            if epoch % int(self.config.get_path("checkpoint.save_every_epochs", default=1)) == 0:
+                self.save_checkpoint(state, epoch, tag="last")
+            if should_stop:
+                break
+        self.save_checkpoint(state, epochs - 1, tag="last")
+        return {"state": state, "history": history, "best_metric": best_metric}
+
+    # ------------------------------------------------------------- evaluate
+    def evaluate(self, params, loader) -> dict:
+        params = replicate(params, self.mesh)
+        probs, labels, losses = [], [], []
+        for host_batch in loader:
+            batch = shard_batch(self.task.to_tensor(host_batch), self.mesh)
+            logits = self.task.predict(params, batch)
+            loss, _ = self.task.loss_fn(params, batch, jax.random.PRNGKey(0), False)
+            losses.append(float(loss))
+            p = np.asarray(jax.nn.softmax(jnp.asarray(logits, jnp.float32), axis=-1))
+            probs.append(p)
+            raw_labels = np.asarray(batch[-1])
+            labels.append(raw_labels.argmax(-1) if raw_labels.ndim > 1 else raw_labels)
+        probs = np.concatenate(probs)
+        labels = np.concatenate(labels)
+        report = classification_report(probs, labels)
+        report = {k: v for k, v in report.items() if not isinstance(v, (dict, np.ndarray))}
+        report["loss"] = float(np.mean(losses))
+        return report
+
+    def predict(self, params, loader) -> np.ndarray:
+        params = replicate(params, self.mesh)
+        out = []
+        for host_batch in loader:
+            batch = shard_batch(self.task.to_tensor(host_batch), self.mesh)
+            out.append(np.asarray(self.task.predict(params, batch)))
+        return np.concatenate(out)

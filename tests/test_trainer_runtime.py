@@ -1,0 +1,90 @@
+"""Trainer + runtime verbs on a synthetic corpus (CPU, tiny model)."""
+
+import numpy as np
+import pytest
+
+from applecider_tpu.config import load_defaults
+from applecider_tpu.datasets.photo_dataset import PhotoEventsDataset, compute_photo_feature_stats
+from applecider_tpu.preprocessing.cli import preprocess_data
+from applecider_tpu.testing import make_corpus
+from applecider_tpu.train.runtime import AppleCiderRuntime
+
+
+@pytest.fixture(scope="module")
+def prepared(tmp_path_factory):
+    root = tmp_path_factory.mktemp("rt")
+    data_dir, labels_csv = make_corpus(root, n_objects=12, seed=21, n_photometry=18, n_alerts=4)
+    out = root / "out"
+    preprocess_data(str(data_dir), str(labels_csv), str(out), min_per_class=1, seed=42)
+    compute_photo_feature_stats(out / "manifest_train.csv", 100.0, out / "photo_stats.npz")
+    return out
+
+
+def _runtime(prepared, tmp_path, epochs=2):
+    cfg_overrides = {
+        "model": {"name": "BaselineCLS", "BaselineCLS": {
+            "d_model": 16, "n_heads": 2, "n_layers": 1, "dropout": 0.0}},
+        "train": {"epochs": epochs, "compute_dtype": "float32"},
+        "data_loader": {"batch_size": 4, "drop_last": False},
+        "model_inputs": {
+            "train": {"data": {"dataset_class": "PhotoEventsDataset"}},
+            "validate": {"data": {"dataset_class": "PhotoEventsDataset"}},
+            "infer": {"data": {"dataset_class": "PhotoEventsDataset"}},
+        },
+    }
+    rt = AppleCiderRuntime(overrides=cfg_overrides, workdir=tmp_path / "results")
+    sec = f'data_set."{PhotoEventsDataset.SECTION}"'
+    rt.set_config(f"{sec}.manifest_path", str(prepared / "manifest_train.csv"))
+    rt.set_config(f"{sec}.stats_path", str(prepared / "photo_stats.npz"))
+    rt.set_config(f"{sec}.use_oversampling", False)
+    return rt
+
+
+def test_prepare_train_infer(prepared, tmp_path):
+    rt = _runtime(prepared, tmp_path)
+    datasets = rt.prepare()
+    assert "train" in datasets and "infer" in datasets
+
+    results = rt.train()
+    assert len(results["history"]) == 2
+    assert np.isfinite(results["history"][-1]["train_loss"])
+    assert (results["run_dir"] / "checkpoints" / "last").exists()
+    assert (results["run_dir"] / "metrics.jsonl").exists()
+
+    preds = rt.infer()
+    assert preds.shape[0] == len(datasets["infer"])
+    assert preds.shape[1] == 5
+
+
+def test_checkpoint_resume(prepared, tmp_path):
+    rt = _runtime(prepared, tmp_path, epochs=1)
+    r1 = rt.train()
+    # fresh trainer resumes from the saved state in the same run dir
+    from applecider_tpu.train.trainer import Trainer, TrainState
+    import jax
+
+    task = rt._task()
+    trainer = Trainer(task, rt.config, r1["run_dir"])
+    loader = rt._loader(rt.datasets["train"], shuffle=False)
+    batch0 = task.to_tensor(next(iter(loader)))
+    variables = task.init(jax.random.PRNGKey(0), batch0)
+    fresh = TrainState(variables["params"], trainer.tx.init(variables["params"]))
+    restored, next_epoch = trainer.restore_checkpoint(fresh)
+    assert next_epoch == 1
+    assert restored.step > 0
+    # restored params differ from fresh init (training moved them)
+    moved = np.abs(
+        np.asarray(restored.params["trunk"]["in_proj"]["kernel"])
+        - np.asarray(fresh.params["trunk"]["in_proj"]["kernel"])
+    ).max()
+    assert moved > 0
+
+
+def test_export_engine_roundtrip(prepared, tmp_path):
+    rt = _runtime(prepared, tmp_path, epochs=1)
+    rt.train()
+    export_dir = rt.export()
+    assert (export_dir / "model.stablehlo").exists()
+    direct = rt.infer()
+    via_engine = rt.engine(export_dir)
+    np.testing.assert_allclose(via_engine, direct, atol=1e-5)
