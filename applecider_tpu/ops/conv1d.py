@@ -30,7 +30,7 @@ def conv1d_direct(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None
     k = kernel.shape[0]
     y = lax.conv_general_dilated(
         x,
-        kernel,
+        kernel.astype(x.dtype),
         window_strides=(1,),
         padding=[(k // 2, k // 2)],
         dimension_numbers=("NWC", "WIO", "NWC"),
