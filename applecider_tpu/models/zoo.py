@@ -1,0 +1,290 @@
+"""Baseline model zoo (comparison models from the paper).
+
+Behavioral contracts from the reference's ``_archive/AppleCider/models/other
+models/``:
+
+* ``BTSModel``    — BTSbot CNN over sci/ref/diff cutouts (2 conv blocks,
+  max-pool 2 then 4, flatten -> Linear) [BTSModel.py:1-64]
+* ``GalSpecNet``  — 1-D CNN spectra classifier (Conv-ReLU[-MaxPool] chain,
+  dropout, Linear) [GalSpecNet.py:1-46]
+* ``MetaModel``   — AstroM3 metadata MLP (2x Linear-ReLU-Dropout, Linear)
+  [MetaModel.py:1-36]
+* ``Informer``    — ProbSparse-attention encoder classifier
+  [Informer.py:1-309]; the sparse top-u query selection is re-expressed
+  with static shapes (lax.top_k + gather/scatter), TPU-friendly.
+* ``SpectraViT`` / ``SpectraConvNeXt`` — timm-backbone spectra baselines;
+  backbones are reimplemented (ViT from scratch; ConvNeXt reuses
+  ``applecider_tpu.models.convnext``). Offline, so no pretrained weights —
+  the reference's ``pretrained=True`` requires a download either way.
+
+Every model keeps the reference's ``mode`` toggle: classification head on
+when mode matches, embedding output otherwise (for fusion use).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from applecider_tpu.models.convnext import ConvNeXt, Conv2dTorch
+from applecider_tpu.models.layers import (
+    LayerNorm,
+    Linear,
+    MultiHeadSelfAttention,
+    TransformerEncoder,
+    gelu_exact,
+)
+from applecider_tpu.ops.conv1d import conv1d, max_pool1d
+from applecider_tpu.registry import register_model
+
+
+@register_model(name="BTSModel")
+class BTSModel(nn.Module):
+    """BTSbot-style CNN over (B, H, W, C) cutout stacks."""
+
+    conv1_channels: int = 32
+    conv2_channels: int = 64
+    conv_kernel: int = 5
+    dropout1: float = 0.25
+    dropout2: float = 0.25
+    num_classes: int = 5
+    classification: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        pad = self.conv_kernel // 2
+        for ch in (self.conv1_channels, self.conv1_channels):
+            x = nn.relu(Conv2dTorch(ch, self.conv_kernel, padding=pad, dtype=self.dtype)(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Dropout(self.dropout1)(x, deterministic=deterministic)
+        for ch in (self.conv2_channels, self.conv2_channels):
+            x = nn.relu(Conv2dTorch(ch, self.conv_kernel, padding=pad, dtype=self.dtype)(x))
+        x = nn.max_pool(x, (4, 4), strides=(4, 4))
+        x = nn.Dropout(self.dropout2)(x, deterministic=deterministic)
+        x = x.reshape(x.shape[0], -1)
+        if self.classification:
+            x = Linear(self.num_classes, name="fc")(x)
+        return x.astype(jnp.float32)
+
+
+@register_model(name="GalSpecNet")
+class GalSpecNet(nn.Module):
+    """Conv-ReLU[-MaxPool] 1-D chain over spectra (NLC layout)."""
+
+    conv_channels: Sequence[int] = (1, 64, 64, 32, 32)
+    kernel_size: int = 5
+    mp_kernel_size: int = 2
+    dropout: float = 0.3
+    num_classes: int = 9
+    classification: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if x.ndim == 2:
+            x = x[..., None]
+        n = len(self.conv_channels) - 1
+        for i in range(n):
+            # torch Conv1d with no padding -> trim k-1 from length
+            cin = x.shape[-1]
+            kernel = self.param(
+                f"conv{i}_kernel",
+                lambda k, s: jax.random.uniform(
+                    k, s, jnp.float32,
+                    -1 / math.sqrt(s[0] * s[1]), 1 / math.sqrt(s[0] * s[1])),
+                (self.kernel_size, cin, self.conv_channels[i + 1]),
+            )
+            bias = self.param(f"conv{i}_bias", nn.initializers.zeros,
+                              (self.conv_channels[i + 1],))
+            y = conv1d(x, kernel, bias, mode="direct")
+            trim = self.kernel_size // 2
+            x = nn.relu(y[:, trim: y.shape[1] - trim if self.kernel_size % 2 else None])
+            if i < n - 1:
+                x = max_pool1d(x, self.mp_kernel_size)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        if self.classification:
+            x = Linear(self.num_classes, name="fc")(x)
+        return x.astype(jnp.float32)
+
+
+@register_model(name="MetaModel")
+class MetaModel(nn.Module):
+    """AstroM3-style metadata MLP."""
+
+    hidden_dim: int = 128
+    dropout: float = 0.2
+    num_classes: int = 5
+    classification: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        for _ in range(2):
+            x = nn.relu(Linear(self.hidden_dim, dtype=self.dtype)(x))
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        if self.classification:
+            x = Linear(self.num_classes, name="fc")(x)
+        return x.astype(jnp.float32)
+
+
+class ProbSparseSelfAttention(nn.Module):
+    """Informer ProbSparse attention with static shapes.
+
+    Top-u "active" queries (u = factor * ceil(ln L)) get full attention;
+    the rest receive the mean of V (non-causal initial context). Key
+    sampling for the sparsity measure is deterministic strided sampling —
+    same estimator spirit, trace-stable on TPU.
+    """
+
+    num_heads: int
+    factor: int = 5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, L, D = x.shape
+        H = self.num_heads
+        hd = D // H
+        qkv = Linear(3 * D, dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        u = max(min(int(self.factor * math.ceil(math.log(max(L, 2)))), L), 1)
+        sample_k = u
+
+        # strided key sample for the sparsity measure
+        stride = max(L // sample_k, 1)
+        k_sample = k[:, :, ::stride, :][:, :, :sample_k, :]
+        qk_sample = jnp.einsum("bhld,bhsd->bhls", q, k_sample) / math.sqrt(hd)
+        M = jnp.max(qk_sample, axis=-1) - jnp.mean(qk_sample, axis=-1)  # (B,H,L)
+        _, top_idx = jax.lax.top_k(M, u)  # (B,H,u)
+
+        q_top = jnp.take_along_axis(q, top_idx[..., None], axis=2)  # (B,H,u,hd)
+        scores = jnp.einsum("bhud,bhld->bhul", q_top, k) / math.sqrt(hd)
+        attn = jax.nn.softmax(scores, axis=-1)
+        ctx_top = jnp.einsum("bhul,bhld->bhud", attn, v)
+
+        ctx = jnp.broadcast_to(jnp.mean(v, axis=2, keepdims=True), v.shape)
+        b_idx = jnp.arange(B)[:, None, None]
+        h_idx = jnp.arange(H)[None, :, None]
+        ctx = ctx.at[b_idx, h_idx, top_idx].set(ctx_top)
+        out = ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
+        return Linear(D, dtype=self.dtype, name="out_proj")(out)
+
+
+@register_model(name="Informer")
+class Informer(nn.Module):
+    """Informer-style encoder classifier over event sequences."""
+
+    c_in: int = 7
+    d_model: int = 128
+    n_heads: int = 8
+    n_layers: int = 2
+    dropout: float = 0.1
+    num_classes: int = 5
+    classification: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        B, L, _ = x.shape
+        # token embedding: conv1d over time (Informer's TokenEmbedding)
+        kernel = self.param(
+            "token_kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (3, self.c_in, self.d_model),
+        )
+        h = conv1d(x.astype(jnp.float32), kernel, mode="direct")
+        # sinusoidal positional embedding
+        pos = jnp.arange(L)[:, None]
+        div = jnp.exp(jnp.arange(0, self.d_model, 2) * (-math.log(10000.0) / self.d_model))
+        pe = jnp.zeros((L, self.d_model))
+        pe = pe.at[:, 0::2].set(jnp.sin(pos * div)).at[:, 1::2].set(jnp.cos(pos * div))
+        h = h + pe[None]
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+        for i in range(self.n_layers):
+            a = ProbSparseSelfAttention(self.n_heads, dtype=self.dtype, name=f"attn_{i}")(h)
+            h = LayerNorm(name=f"norm1_{i}")(h + nn.Dropout(self.dropout)(a, deterministic=deterministic))
+            f = Linear(4 * self.d_model, name=f"ff1_{i}")(h)
+            f = Linear(self.d_model, name=f"ff2_{i}")(nn.relu(f))
+            h = LayerNorm(name=f"norm2_{i}")(h + nn.Dropout(self.dropout)(f, deterministic=deterministic))
+
+        h = jnp.mean(h, axis=1)
+        if self.classification:
+            h = Linear(self.num_classes, name="fc")(h)
+        return h.astype(jnp.float32)
+
+
+class ViT(nn.Module):
+    """Plain ViT encoder (patch embed + CLS + pre-LN transformer)."""
+
+    patch: int = 16
+    dim: int = 256
+    depth: int = 4
+    heads: int = 8
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B = x.shape[0]
+        x = Conv2dTorch(self.dim, self.patch, stride=self.patch, dtype=self.dtype, name="patch")(x)
+        x = x.reshape(B, -1, self.dim)
+        cls = self.param("cls", nn.initializers.zeros, (1, 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)), x], axis=1)
+        pos = self.param("pos", nn.initializers.normal(0.02), (1, x.shape[1], self.dim))
+        x = x + pos
+        x = TransformerEncoder(self.depth, self.heads, self.dim * 4, 0.0,
+                               dtype=self.dtype, name="encoder")(x)
+        return LayerNorm(name="norm")(x[:, 0])
+
+
+@register_model(name="SpectraViT")
+class SpectraViT(nn.Module):
+    """ViT backbone + MLP head over spectrogram-like 2-D spectra renders."""
+
+    s_dim: int = 512
+    dropout: float = 0.3
+    num_classes: int = 9
+    classification: bool = True
+    backbone_dim: int = 256
+    backbone_depth: int = 4
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        feats = ViT(dim=self.backbone_dim, depth=self.backbone_depth, dtype=self.dtype)(x)
+        h = nn.relu(Linear(self.s_dim)(feats))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.relu(Linear(256)(h))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if self.classification:
+            h = Linear(self.num_classes, name="fc")(h)
+        return h.astype(jnp.float32)
+
+
+@register_model(name="SpectraConvNeXt")
+class SpectraConvNeXt(nn.Module):
+    """ConvNeXt backbone spectra baseline (ConvNeXt-base dims by default)."""
+
+    depths: Sequence[int] = (3, 3, 27, 3)
+    dims: Sequence[int] = (128, 256, 512, 1024)
+    num_classes: int = 9
+    classification: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        feats = ConvNeXt(tuple(self.depths), tuple(self.dims), dtype=self.dtype)(x)
+        if self.classification:
+            feats = Linear(self.num_classes, name="fc")(feats)
+        return feats.astype(jnp.float32)

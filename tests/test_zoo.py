@@ -1,0 +1,89 @@
+"""Model zoo: shape contracts and BTS/GalSpec torch parity of the conv math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from applecider_tpu.models.zoo import (
+    BTSModel,
+    GalSpecNet,
+    Informer,
+    MetaModel,
+    SpectraConvNeXt,
+    SpectraViT,
+)
+
+
+def test_bts_model_shape(rng):
+    m = BTSModel(conv1_channels=8, conv2_channels=8, num_classes=5, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 63, 63, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape == (2, 5)
+    # embedding mode
+    m2 = BTSModel(conv1_channels=8, conv2_channels=8, classification=False, dtype=jnp.float32)
+    p2 = m2.init(jax.random.PRNGKey(0), x)["params"]
+    emb = m2.apply({"params": p2}, x)
+    assert emb.ndim == 2 and emb.shape[0] == 2
+
+
+def test_galspecnet_shape_and_valid_conv(rng):
+    m = GalSpecNet(conv_channels=(1, 8, 8, 4), kernel_size=5, num_classes=9, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 200)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape == (2, 9)
+    # valid (unpadded) conv semantics: length shrinks by k-1 per conv
+    ref_len = 200
+    for i in range(3):
+        ref_len = ref_len - 4
+        if i < 2:
+            ref_len //= 2
+
+
+def test_galspecnet_valid_conv_matches_torch(rng):
+    """Our trim of the 'same'-padded conv equals torch's unpadded Conv1d."""
+    x = rng.normal(size=(1, 1, 50)).astype(np.float32)
+    w = rng.normal(size=(4, 1, 5)).astype(np.float32)
+    ref = F.conv1d(torch.tensor(x), torch.tensor(w)).numpy()  # (1, 4, 46)
+    from applecider_tpu.ops.conv1d import conv1d
+
+    y = conv1d(
+        jnp.asarray(np.transpose(x, (0, 2, 1))),
+        jnp.asarray(np.transpose(w, (2, 1, 0))),
+        mode="direct",
+    )
+    trimmed = np.asarray(y)[:, 2:-2, :]
+    np.testing.assert_allclose(np.transpose(trimmed, (0, 2, 1)), ref, atol=1e-5)
+
+
+def test_meta_model(rng):
+    m = MetaModel(hidden_dim=32, num_classes=5, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(4, 19)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    assert m.apply({"params": params}, x).shape == (4, 5)
+
+
+def test_informer(rng):
+    m = Informer(d_model=32, n_heads=4, n_layers=1, num_classes=5, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 40, 7)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    out = jax.jit(lambda p, x: m.apply({"params": p}, x))(params, x)
+    assert out.shape == (2, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spectra_vit(rng):
+    m = SpectraViT(backbone_dim=32, backbone_depth=1, s_dim=16, num_classes=9, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    assert m.apply({"params": params}, x).shape == (2, 9)
+
+
+def test_spectra_convnext(rng):
+    m = SpectraConvNeXt(depths=(1, 1), dims=(8, 16), num_classes=9, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 63, 63, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    assert m.apply({"params": params}, x).shape == (2, 9)
