@@ -1,0 +1,118 @@
+"""Native (C++) host-plane accelerators with build-on-demand + fallback.
+
+``decode_stamps_batch`` is the batched gzip+FITS cutout decoder backing the
+alert-stream data path. First use compiles ``fits_decoder.cpp`` into a
+shared library next to this file (g++ + zlib, both baked into the image);
+failures fall back to the pure-NumPy decoder transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SO = _HERE / "libacfits.so"
+_SRC = _HERE / "fits_decoder.cpp"
+
+_lib = None
+_build_failed = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    if _build_failed:
+        return None
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            str(_SRC), "-o", str(_SO), "-lz", "-lpthread",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError) as e:
+            print(f"[native] build failed ({e}); falling back to NumPy decoder")
+            _build_failed = True
+            return None
+    lib = ctypes.CDLL(str(_SO))
+    lib.acfits_decode_batch.restype = ctypes.c_int
+    lib.acfits_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None and not _build_failed:
+        _lib = _build()
+    return _lib
+
+
+def decode_stamps_batch(
+    stamps: list, hw: int = 63, n_threads: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a list of (possibly gzipped) FITS byte blobs.
+
+    Returns (images (N, hw, hw) float32, ok (N,) bool). Blobs that fail to
+    decode or whose pixel count differs from hw*hw get ok=False. Non-bytes
+    entries (pre-decoded arrays) are passed through.
+    """
+    n = len(stamps)
+    images = np.zeros((n, hw, hw), np.float32)
+    ok = np.zeros(n, bool)
+    byte_idx = []
+    for i, s in enumerate(stamps):
+        if isinstance(s, np.ndarray):
+            if s.shape == (hw, hw):
+                images[i] = s.astype(np.float32)
+                ok[i] = True
+        elif isinstance(s, (bytes, bytearray)):
+            byte_idx.append(i)
+    if not byte_idx:
+        return images, ok
+
+    lib = get_lib()
+    if lib is None:
+        from applecider_tpu.preprocessing.fitsio import decode_stamp
+
+        for i in byte_idx:
+            img = decode_stamp(stamps[i])
+            if img is not None and img.shape == (hw, hw):
+                images[i] = img
+                ok[i] = True
+        return images, ok
+
+    blobs = [bytes(stamps[i]) for i in byte_idx]
+    m = len(blobs)
+    ptrs = (ctypes.c_void_p * m)(
+        *[ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p) for b in blobs]
+    )
+    sizes = (ctypes.c_int64 * m)(*[len(b) for b in blobs])
+    max_pix = hw * hw
+    out = np.zeros((m, max_pix), np.float32)
+    counts = np.zeros(m, np.int64)
+    lib.acfits_decode_batch(
+        ptrs,
+        sizes,
+        m,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_pix,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(n_threads),
+    )
+    for j, i in enumerate(byte_idx):
+        if counts[j] == max_pix:
+            images[i] = out[j].reshape(hw, hw)
+            ok[i] = True
+    return images, ok
