@@ -53,12 +53,34 @@ def _load_table(path: str | Path) -> dict:
         }
 
 
+def augment_edge_crop(flux: np.ndarray, rng: np.random.Generator, max_frac: float = 0.25) -> np.ndarray:
+    """Random edge-crop masking: zero up to ``max_frac`` of each side.
+
+    Reference augmentation for spectra training
+    (``_archive/AppleCider/preprocess/data_loader.py:27-41``).
+    """
+    n = flux.shape[-1]
+    left = int(rng.integers(0, int(n * max_frac) + 1))
+    right = int(rng.integers(0, int(n * max_frac) + 1))
+    out = flux.copy()
+    if left:
+        out[..., :left] = 0.0
+    if right:
+        out[..., n - right:] = 0.0
+    return out
+
+
 @register_dataset(name="SpectraDataset")
 @register_dataset(name="SpectraData")
 class SpectraDataset:
     SECTION = "applecider_tpu.datasets.spectra_dataset.SpectraDataset"
 
     def __init__(self, config, data_location):
+        section = config.section("data_set", self.SECTION)
+        self.augment = bool(section.get("augment", False))
+        self._rng = np.random.default_rng(
+            int(config.get_path("data_loader.seed", default=42))
+        )
         table = _load_table(data_location)
         self._flux = np.asarray(table["flux"], np.float32)
         if self._flux.ndim == 3:  # stored with channel dim
@@ -89,8 +111,11 @@ class SpectraDataset:
         return float(self._redshifts[idx])
 
     def sample(self, idx: int) -> dict:
+        flux = self._flux[idx]
+        if self.augment:
+            flux = augment_edge_crop(flux, self._rng)
         return {
-            "flux": self._flux[idx],
+            "flux": flux,
             "label": self.get_label(idx),
             "redshift": self.get_redshift(idx),
         }

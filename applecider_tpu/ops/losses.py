@@ -134,3 +134,11 @@ def class_balanced_weights(class_counts: np.ndarray, beta: float = 0.9999) -> np
     weights = (1.0 - beta) / np.maximum(effective, 1e-12)
     weights = weights / weights.sum() * len(counts)
     return weights.astype(np.float32)
+
+
+def power_class_weights(class_counts: np.ndarray, exponent: float = 1.0) -> np.ndarray:
+    """``N / count^exponent`` class weights (reference AstroMiNN.py:1244-1253)."""
+    counts = np.asarray(class_counts, dtype=np.float64)
+    total = counts.sum()
+    weights = total / np.power(np.maximum(counts, 1.0), exponent)
+    return weights.astype(np.float32)

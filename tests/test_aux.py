@@ -1,0 +1,96 @@
+"""Aux subsystems: plots, augmentation, class weights, observability, experimental."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from applecider_tpu.datasets.spectra_dataset import augment_edge_crop
+from applecider_tpu.models.experimental import (
+    CNNTower,
+    PositionEmbedding,
+    position_embedding_sine,
+    soft_centroid,
+)
+from applecider_tpu.ops.losses import power_class_weights
+from applecider_tpu.utils.observability import grad_norm, multi_seed_run
+from applecider_tpu.utils.plots import (
+    plot_confusion_matrix,
+    plot_pr_curves,
+    plot_redshift_scatter,
+    plot_roc_curves,
+)
+
+CLASSES = ["SN I", "SN II", "CV", "AGN", "TDE"]
+
+
+def test_plots_write_files(tmp_path, rng):
+    labels = rng.integers(0, 5, size=100)
+    logits = rng.normal(size=(100, 5)) + 2.0 * np.eye(5)[labels]
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    preds = probs.argmax(1)
+    plot_confusion_matrix(preds, labels, CLASSES, save_path=tmp_path / "cm.png")
+    plot_roc_curves(probs, labels, CLASSES, save_path=tmp_path / "roc.png")
+    plot_pr_curves(probs, labels, CLASSES, save_path=tmp_path / "pr.png")
+    plot_redshift_scatter(rng.uniform(0, 1, 50), rng.uniform(0, 1, 50), save_path=tmp_path / "z.png")
+    for f in ("cm.png", "roc.png", "pr.png", "z.png"):
+        assert (tmp_path / f).stat().st_size > 0
+
+
+def test_edge_crop_augment(rng):
+    flux = np.ones(100, np.float32)
+    out = augment_edge_crop(flux, np.random.default_rng(0), max_frac=0.25)
+    assert out.shape == flux.shape
+    # zeros only at the edges; center untouched
+    assert (out[30:70] == 1.0).all()
+    assert flux.sum() >= out.sum()
+
+
+def test_power_class_weights():
+    w = power_class_weights([100, 10], exponent=1.0)
+    assert w[1] / w[0] == 10.0
+    w2 = power_class_weights([100, 10], exponent=0.5)
+    assert w2[1] / w2[0] < 10.0
+
+
+def test_grad_norm_matches_torch_semantics(rng):
+    import torch
+
+    g1 = rng.normal(size=(3, 4)).astype(np.float32)
+    g2 = rng.normal(size=(7,)).astype(np.float32)
+    ours = float(grad_norm({"a": jnp.asarray(g1), "b": jnp.asarray(g2)}))
+    ref = float(torch.linalg.vector_norm(
+        torch.cat([torch.tensor(g1).flatten(), torch.tensor(g2).flatten()])))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_multi_seed_run():
+    out = multi_seed_run(lambda seed: {"acc": 0.5 + seed * 0.01}, [0, 1, 2])
+    assert abs(out["summary"]["acc"]["mean"] - 0.51) < 1e-9
+    assert out["summary"]["acc"]["std"] > 0
+
+
+def test_position_embedding_variants(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    for kind in ("sine", "learned", "fourier"):
+        mod = PositionEmbedding(16, kind)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(params, x)
+        assert out.shape == x.shape
+    pe = position_embedding_sine(8, 8, 16)
+    assert pe.shape == (8, 8, 16)
+    assert np.isfinite(np.asarray(pe)).all()
+
+
+def test_soft_centroid_peak():
+    attn = np.full((1, 9, 9), -10.0, np.float32)
+    attn[0, 2, 6] = 20.0
+    c = np.asarray(soft_centroid(jnp.asarray(attn)))
+    np.testing.assert_allclose(c[0], [2.0, 6.0], atol=0.05)
+
+
+def test_cnn_tower(rng):
+    m = CNNTower(channels=8, depth=2, outdims=16, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape == (2, 16)
