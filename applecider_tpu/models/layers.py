@@ -89,6 +89,7 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    impl: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, *, deterministic: bool = True):
@@ -102,14 +103,22 @@ class MultiHeadSelfAttention(nn.Module):
             return t.reshape(B, L, H, head_dim).transpose(0, 2, 1, 3)  # (B,H,L,hd)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(head_dim)
-        if key_padding_mask is not None:
-            neg = jnp.asarray(-1e9, dtype=scores.dtype)
-            scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
-        attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        use_pallas = self.impl.startswith("pallas") and (deterministic or self.dropout == 0.0)
+        if use_pallas:
+            from applecider_tpu.ops.attention import pallas_masked_attention
+
+            out = pallas_masked_attention(
+                q, k, v, key_padding_mask, interpret=self.impl == "pallas_interpret"
+            )
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(head_dim)
+            if key_padding_mask is not None:
+                neg = jnp.asarray(-1e9, dtype=scores.dtype)
+                scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
+            attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
         return Linear(D, dtype=self.dtype, name="out_proj")(out)
 

@@ -73,7 +73,11 @@ class Trainer:
             )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, aux["metrics"]
+            metrics = dict(aux["metrics"])
+            from applecider_tpu.utils.observability import grad_norm
+
+            metrics["grad_norm"] = grad_norm(grads)
+            return params, opt_state, metrics
 
         return train_step
 
@@ -120,7 +124,8 @@ class Trainer:
             f.write(json.dumps(record) + "\n")
 
     # ------------------------------------------------------------------ fit
-    def fit(self, train_loader, val_loader=None, epochs: Optional[int] = None) -> dict:
+    def fit(self, train_loader, val_loader=None, epochs: Optional[int] = None,
+            pruning_hook=None) -> dict:
         cfg = self.config
         epochs = epochs or int(cfg.get_path("train.epochs", default=10))
         seed = int(cfg.get_path("train.seed", default=42))
@@ -169,6 +174,8 @@ class Trainer:
                 "steps": state.step,
                 "epoch_seconds": time.time() - t0,
             }
+            if losses:
+                record["last_grad_norm"] = float(metrics.get("grad_norm", np.nan))
             if val_loader is not None:
                 val = self.evaluate(state.params, val_loader)
                 record.update({f"val_{k}": v for k, v in val.items()
@@ -178,6 +185,10 @@ class Trainer:
                     best_metric = monitor
                     self.save_checkpoint(state, epoch, tag="best")
                 should_stop = stopper.step(val.get("loss", train_loss))
+                if pruning_hook is not None and pruning_hook.report_and_maybe_prune(
+                    val.get("loss", train_loss), epoch
+                ):
+                    should_stop = True
             else:
                 should_stop = False
             self._log(record)
