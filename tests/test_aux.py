@@ -94,3 +94,39 @@ def test_cnn_tower(rng):
     params = m.init(jax.random.PRNGKey(0), x)["params"]
     out = m.apply({"params": params}, x)
     assert out.shape == (2, 16)
+
+
+def test_taxonomy_mappings():
+    from applecider_tpu.datasets.taxonomy import (
+        downsample_per_class,
+        map_labels,
+        to_coarse4,
+        to_coarse5,
+        to_fine10,
+    )
+
+    assert to_coarse5("SN Ia") == 0 and to_coarse5("SN IIn") == 1
+    assert to_coarse5("Tidal Disruption Event") == 4
+    assert to_coarse4("SN IIb") == 0 and to_coarse4("AGN") == 2
+    assert to_fine10("SN Ic") == 1
+    labels = map_labels(["AGN", "SN Ia", "Cataclysmic"], "coarse5")
+    assert labels.tolist() == [3, 0, 2]
+
+    y = np.array([0] * 50 + [1] * 5)
+    keep = downsample_per_class(y, max_samples=10, seed=0)
+    assert (y[keep] == 0).sum() == 10 and (y[keep] == 1).sum() == 5
+
+
+def test_logit_sequence_dataset(tmp_path, rng):
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.datasets.logit_sequence_dataset import LogitSequenceDataset
+
+    seqs = [rng.normal(size=(int(rng.integers(2, 12)), 12)).astype(np.float32) for _ in range(6)]
+    np.savez(tmp_path / "t.npz",
+             sequences=np.asarray(seqs, object),
+             labels=np.arange(6) % 5)
+    ds = LogitSequenceDataset(load_defaults(), tmp_path / "t.npz")
+    assert len(ds) == 6
+    batch = ds.collate([ds.sample(i) for i in range(4)])["data"]
+    assert batch["sequence"].shape == (4, 10, 12)
+    assert batch["pad_mask"].shape == (4, 10)
