@@ -193,6 +193,44 @@ def astrominn_params(sd: dict, backbone_depths, num_experts: int = 4) -> dict:
     return params
 
 
+def _sub(sd: dict, prefix: str) -> dict:
+    """Slice a state_dict to the keys under ``prefix.``, stripping it."""
+    plen = len(prefix) + 1
+    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix + ".")}
+
+
+def fusion_params(
+    sd: dict,
+    *,
+    photometry_layers: int,
+    spectranet_depths,
+    spectranet_kernels_per_stage,
+    astrominn_backbone_depths,
+    num_experts: int = 4,
+) -> dict:
+    """Full AppleCider fusion torch state_dict -> flax params.
+
+    Torch oracle layout (tests/torch_refs.py TorchAppleCider):
+    photometry_encoder.* / spectra_encoder.* / img_meta_encoder.* +
+    photometry_proj / spectra_proj / img_metadata_proj / fc.
+    """
+    return {
+        "photometry_encoder": baseline_cls_params(
+            _sub(sd, "photometry_encoder"), photometry_layers, classification=False
+        ),
+        "spectra_encoder": spectranet_params(
+            _sub(sd, "spectra_encoder"), spectranet_depths, spectranet_kernels_per_stage
+        ),
+        "img_meta_encoder": astrominn_params(
+            _sub(sd, "img_meta_encoder"), astrominn_backbone_depths, num_experts
+        ),
+        "photometry_proj": _lin(sd, "photometry_proj"),
+        "spectra_proj": _lin(sd, "spectra_proj"),
+        "img_metadata_proj": _lin(sd, "img_metadata_proj"),
+        "fc": _lin(sd, "fc"),
+    }
+
+
 def mpt_to_classifier_warmstart(mpt_flax_params: dict) -> dict:
     """Weight surgery: MPT trunk -> fresh classifier warm start.
 

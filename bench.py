@@ -25,6 +25,11 @@ BASELINE_ALERTS_PER_SEC = 10_000.0
 def main():
     import jax
 
+    # persistent compile cache: the first driver run pays the remote TPU
+    # compile once; later runs are instant
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _fusion_batch, _fusion_task
 
     task = _fusion_task(tiny=False, compute_dtype="bfloat16")

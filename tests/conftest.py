@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: repeated suite runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_applecider_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:

@@ -99,10 +99,15 @@ class TorchSpectraBlock(nn.Module):
 
 
 class TorchSpectraNet(nn.Module):
-    """Multi-kernel conv-bank spectra classifier (reference architecture)."""
+    """Multi-kernel conv-bank spectra classifier (reference architecture).
 
-    def __init__(self, channels, depths, kernels, num_classes, head_hidden=384):
+    ``embedding=True`` stops after the head's GELU (fusion-mode hidden).
+    """
+
+    def __init__(self, channels, depths, kernels, num_classes, head_hidden=384,
+                 embedding=False):
         super().__init__()
+        self.embedding = embedding
         stages = []
         n = len(channels)
         for s in range(n):
@@ -130,7 +135,40 @@ class TorchSpectraNet(nn.Module):
             for b in blocks:
                 x = b(x)
         x = F.adaptive_max_pool1d(x, 1).squeeze(-1)
+        if self.embedding:
+            return self.classifier[2](self.classifier[1](self.classifier[0](x)))
         return self.classifier(x)
+
+
+class TorchAppleCider(nn.Module):
+    """Full 4-modality fusion oracle: encoders -> proj -> L2 -> avg/concat -> fc."""
+
+    def __init__(self, photometry, spectra, img_meta, spectra_hidden, hidden_dim=5,
+                 fusion="avg", num_classes=5):
+        super().__init__()
+        self.photometry_encoder = photometry
+        self.spectra_encoder = spectra
+        self.img_meta_encoder = img_meta
+        d_model = photometry.in_proj.out_features
+        self.photometry_proj = nn.Linear(d_model, hidden_dim)
+        self.spectra_proj = nn.Linear(spectra_hidden, hidden_dim)
+        self.img_metadata_proj = nn.Linear(img_meta.moe_out, hidden_dim)
+        self.fusion = fusion
+        in_features = hidden_dim * 3 if fusion == "concat" else hidden_dim
+        self.fc = nn.Linear(in_features, num_classes)
+
+    def forward(self, photometry, photo_mask, metadata, images, spectra):
+        p = self.photometry_proj(self.photometry_encoder(photometry, photo_mask))
+        s = self.spectra_proj(self.spectra_encoder(spectra))
+        im = self.img_metadata_proj(self.img_meta_encoder(metadata, images))
+        p = p / p.norm(dim=-1, keepdim=True)
+        s = s / s.norm(dim=-1, keepdim=True)
+        im = im / im.norm(dim=-1, keepdim=True)
+        if self.fusion == "concat":
+            emb = torch.cat([p, im, s], dim=1)
+        else:
+            emb = (p + im + s) / 3.0
+        return self.fc(emb)
 
 
 class TorchConvNeXtBlock(nn.Module):
