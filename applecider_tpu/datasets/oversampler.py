@@ -16,10 +16,21 @@ import numpy as np
 
 
 def oversampling_targets(ideal_distribution, class_counts) -> np.ndarray:
-    """Minimal per-class target counts achieving the ideal distribution."""
+    """Minimal per-class target counts achieving the ideal distribution.
+
+    Classes absent from the data (count 0) are dropped from the ideal
+    distribution and the remaining mass renormalized — you can't oversample
+    a class with no samples. (The reference crashes here:
+    ``oversampler_mixin.py:125`` calls ``rng.choice`` on an empty pool, and
+    its ``np.unique`` counts at ``:109`` silently misalign class indices
+    when a class is missing. Both footguns fixed.)
+    """
     p = np.asarray(ideal_distribution, dtype=np.float64)
-    p = p / p.sum()
     counts = np.asarray(class_counts, dtype=np.int64)
+    p = np.where(counts > 0, p, 0.0)
+    if p.sum() <= 0:
+        return counts.copy()
+    p = p / p.sum()
 
     required = np.zeros_like(counts)
     nonzero = p > 0

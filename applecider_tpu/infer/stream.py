@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 LOG_CONST = 1.0 / jnp.log(10.0)
-COLOR_TOL_DAYS = 1.0
 N_BANDS = 3
 
 
@@ -87,17 +86,6 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
 
 
 # --------------------------------------------------------- featurization
-def _nearest_color(t, mag, sig, src_mask, ref_mask):
-    """Per source event: color vs nearest ref event within 1 day (or NaN)."""
-    dist = jnp.abs(t[:, None] - t[None, :])
-    dist = jnp.where(ref_mask[None, :], dist, jnp.inf)
-    j = jnp.argmin(dist, axis=1)
-    ok = src_mask & (jnp.take(dist, j + jnp.arange(t.shape[0]) * t.shape[0]) <= COLOR_TOL_DAYS)
-    color = jnp.where(ok, mag - mag[j], jnp.nan)
-    err = jnp.where(ok, jnp.sqrt(sig**2 + sig[j] ** 2), jnp.nan)
-    return color, err
-
-
 def featurize_events(t_m, f_m, e_m, band_m, valid_m):
     """Merged light curve -> (P, 7) model features + pad mask + context(10,).
 

@@ -123,7 +123,7 @@ class EarlyStopping:
     def step(self, metric: float) -> bool:
         if self.best is None or metric < self.best:
             self.best = metric
-            self.counter = 0 if self.best is not None else 1
+            self.counter = 0
         else:
             self.counter += 1
         return self.counter >= self.patience

@@ -57,6 +57,7 @@ class Trainer:
         self.mesh = mesh
         self.tx = with_grad_clip(task.make_optimizer(), task.grad_clip)
         self._train_step = None
+        self._eval_step = None
         self._log_file = self.workdir / "metrics.jsonl"
 
         ema_decay = float(config.get_path("train.ema_decay", default=0.0))
@@ -80,6 +81,25 @@ class Trainer:
             return params, opt_state, metrics
 
         return train_step
+
+    def _build_eval_step(self):
+        """Jitted eval: loss + softmax probabilities from the task's own
+        logits (``loss_fn`` aux), never from ``task.predict`` — so the
+        ``use_probabilities`` config flag can't double-softmax the metrics."""
+        task = self.task
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def eval_step(params, batch):
+            loss, aux = task.loss_fn(params, batch, key, False)
+            logits = aux.get("logits")
+            probs = (
+                jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                if logits is not None else None
+            )
+            return loss, probs
+
+        return eval_step
 
     # ---------------------------------------------------------- orbax io
     def _ckpt_dir(self) -> Path:
@@ -203,21 +223,25 @@ class Trainer:
     # ------------------------------------------------------------- evaluate
     def evaluate(self, params, loader) -> dict:
         params = replicate(params, self.mesh)
-        probs, labels, losses = [], [], []
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        probs, labels, losses, sizes = [], [], [], []
         for host_batch in loader:
             batch = shard_batch(self.task.to_tensor(host_batch), self.mesh)
-            logits = self.task.predict(params, batch)
-            loss, _ = self.task.loss_fn(params, batch, jax.random.PRNGKey(0), False)
-            losses.append(float(loss))
-            p = np.asarray(jax.nn.softmax(jnp.asarray(logits, jnp.float32), axis=-1))
-            probs.append(p)
+            loss, p = self._eval_step(params, batch)
             raw_labels = np.asarray(batch[-1])
+            losses.append(float(loss))
+            sizes.append(len(raw_labels))
+            if p is not None:
+                probs.append(np.asarray(p))
             labels.append(raw_labels.argmax(-1) if raw_labels.ndim > 1 else raw_labels)
-        probs = np.concatenate(probs)
-        labels = np.concatenate(labels)
-        report = classification_report(probs, labels)
+        sizes = np.asarray(sizes, np.float64)
+        mean_loss = float(np.average(np.asarray(losses), weights=sizes))
+        if not probs:  # regression / pretraining tasks expose no logits
+            return {"loss": mean_loss}
+        report = classification_report(np.concatenate(probs), np.concatenate(labels))
         report = {k: v for k, v in report.items() if not isinstance(v, (dict, np.ndarray))}
-        report["loss"] = float(np.mean(losses))
+        report["loss"] = mean_loss
         return report
 
     def predict(self, params, loader) -> np.ndarray:

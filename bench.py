@@ -1,44 +1,123 @@
-"""Benchmark: ZTF alerts/sec/chip, full 4-modality fusion inference.
+"""Benchmark: ZTF alerts/sec/chip, END-TO-END preprocess + 4-modality fusion.
 
-Runs the flagship AppleCider fusion model (full reference scale: d=128/8h/4L
-photometry transformer, 5-stage SpectraNet with FFT conv banks,
-ConvNeXt-tiny image tower + MoE) in bf16 under jit on the available chip,
-over synthetic fixed-shape alert batches, and prints ONE JSON line:
+Headline metric (BASELINE.md:21-22): alerts/sec/chip for the full device
+pipeline — light-curve merge + event featurization + spectra resample +
+fusion forward (``applecider_tpu.infer.stream.AlertStreamPipeline``) —
+fed from host-packed raw alert batches, at the best batch size of a sweep.
+Secondary fields: model-only forward throughput, host packing rate, native
+FITS-stamp decode rate, honest p50 per-alert e2e latency (pack one alert +
+pipeline + block), and an MFU estimate from XLA cost analysis.
 
-    {"metric": ..., "value": N, "unit": "alerts/sec/chip", "vs_baseline": N}
+Hardened against the round-1 failure (remote TPU backend init error/hang):
+backend init runs under a watchdog thread with retries; on persistent
+failure the bench falls back to CPU (if init *raised*) or emits a parseable
+error JSON line (if init *hung* — the backend lock is poisoned then).
 
-vs_baseline is measured against the BASELINE.json north star of 10,000
-alerts/sec/chip. Also reports p50 single-alert latency as a secondary
-field.
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "alerts/sec/chip", "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
 
 import json
+import os
+import threading
 import time
+import traceback
 
 import numpy as np
 
 BASELINE_ALERTS_PER_SEC = 10_000.0
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# bf16 peak TFLOP/s per chip, by TPU generation (public spec sheets)
+PEAK_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0, "v4": 275.0, "v5p": 459.0, "v6e": 918.0}
 
 
-def main():
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload), flush=True)
+
+
+def _probe_backend(timeout_s: float = 240.0, retries: int = 3):
+    """Initialize the jax backend under a watchdog. Returns (devices, err, hung)."""
     import jax
 
-    # persistent compile cache: the first driver run pays the remote TPU
-    # compile once; later runs are instant
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    result: dict = {}
+
+    def work():
+        for i in range(retries):
+            try:
+                result["devices"] = jax.devices()
+                return
+            except Exception as e:  # noqa: BLE001 — init error shape varies
+                result["error"] = f"{type(e).__name__}: {e}"
+                time.sleep(3.0 * (i + 1))
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in result:
+        return result["devices"], None, False
+    if th.is_alive():
+        return None, f"backend init hung >{timeout_s:.0f}s (wedged TPU tunnel?)", True
+    return None, result.get("error", "unknown backend init failure"), False
+
+
+# --------------------------------------------------------------- synthetic raw
+def make_stream_samples(n: int, seed: int = 0, spectrum_frac: float = 0.3) -> list[dict]:
+    """Ragged raw per-alert dicts matching ``pack_alert_batch``'s contract."""
+    rng = np.random.default_rng(seed)
+    samples = []
+    for i in range(n):
+        P = int(rng.integers(20, 180))
+        t = np.sort(rng.uniform(0.0, 120.0, P)).astype(np.float32)
+        flux = rng.lognormal(2.0, 1.0, P).astype(np.float32)
+        err = (0.05 * flux + rng.uniform(0.1, 2.0, P)).astype(np.float32)
+        band = rng.integers(0, 3, P).astype(np.int32)
+        s = {
+            "photo_t": t, "photo_flux": flux, "photo_err": err, "photo_band": band,
+            "image": rng.normal(size=(63, 63, 3)).astype(np.float32),
+            "meta19": rng.normal(size=19).astype(np.float32),
+        }
+        if rng.random() < spectrum_frac:
+            m = int(rng.integers(200, 500))
+            s["spec_wl"] = np.linspace(4000.0, 8500.0, m).astype(np.float32)
+            s["spec_flux"] = rng.normal(1.0, 0.3, m).astype(np.float32)
+        samples.append(s)
+    return samples
+
+
+def _timed_loop(fn, args_list, iters: int) -> float:
+    """Seconds for ``iters`` dispatches rotating over ``args_list``."""
+    out = None
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(*args_list[i % len(args_list)])
+    _block(out)
+    return time.perf_counter() - t0
+
+
+def _block(out):
+    import jax
+
+    jax.tree.map(lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out)
+
+
+# ------------------------------------------------------------------- the bench
+def run_bench(device) -> dict:
+    import jax
 
     from __graft_entry__ import _fusion_batch, _fusion_task
+    from applecider_tpu.infer.stream import AlertStreamPipeline, pack_alert_batch
 
+    on_tpu = device.platform not in ("cpu",)
     task = _fusion_task(tiny=False, compute_dtype="bfloat16")
 
-    batch_size = 256
-    batch = _fusion_batch(batch_size)
-    variables = task.init(jax.random.PRNGKey(0), batch)
+    init_batch = _fusion_batch(batch_size=8)
+    variables = task.init(jax.random.PRNGKey(0), init_batch)
     params = variables["params"]
 
+    # ---- model-only forward (pre-featurized tensors, resident on device)
     @jax.jit
     def forward(params, photometry, pad_mask, metadata, images, spectra):
         return task.module.apply(
@@ -46,37 +125,140 @@ def main():
             deterministic=True,
         )
 
-    args = batch[:5]
-    # warmup / compile
-    forward(params, *args).block_until_ready()
+    sweep = (256, 512, 1024) if on_tpu else (64,)
+    compile_s = 0.0
+    model_best = (0.0, 0)  # (alerts/sec, batch)
+    flops = None
+    for bs in sweep:
+        args = tuple(jax.device_put(a, device) for a in _fusion_batch(bs)[:5])
+        t0 = time.perf_counter()
+        lowered = forward.lower(params, *args)
+        compiled = lowered.compile()
+        compile_s += time.perf_counter() - t0
+        if flops is None:
+            try:
+                ca = compiled.cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                flops = float(ca.get("flops", 0.0)) / bs  # per alert
+            except Exception:
+                flops = None
+        _block(forward(params, *args))  # warm (cache hit after lower/compile)
+        iters = 30 if on_tpu else 5
+        dt = _timed_loop(lambda *a: forward(params, *a), [args], iters)
+        rate = bs * iters / dt
+        if rate > model_best[0]:
+            model_best = (rate, bs)
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(params, *args)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - t0
-    alerts_per_sec = batch_size * iters / elapsed
+    # ---- end-to-end: host packing + H2D + device preprocess + fusion forward
+    pipe = AlertStreamPipeline(task)
+    e2e_best = (0.0, 0)
+    pack_rate = 0.0
+    for bs in sweep:
+        samples = make_stream_samples(bs, seed=1)
+        t0 = time.perf_counter()
+        raws = [pack_alert_batch(samples), pack_alert_batch(make_stream_samples(bs, seed=2))]
+        pack_rate = 2 * bs / (time.perf_counter() - t0)
+        _block(pipe(params, raws[0]))  # compile + warm
+        iters = 20 if on_tpu else 3
+        # rotate two distinct host batches: every dispatch pays real H2D
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = pipe(params, raws[i % 2])
+        _block(out)
+        dt = time.perf_counter() - t0
+        rate = bs * iters / dt
+        if rate > e2e_best[0]:
+            e2e_best = (rate, bs)
 
-    # p50 single-alert latency
-    single = _fusion_batch(1)[:5]
-    forward(params, *single).block_until_ready()
+    # ---- honest p50 per-alert latency: pack ONE alert + pipeline + block
+    single_samples = make_stream_samples(40, seed=3)
+    _block(pipe(params, pack_alert_batch(single_samples[:1])))  # compile bs=1
     lat = []
-    for _ in range(30):
+    for s in single_samples:
         t1 = time.perf_counter()
-        forward(params, *single).block_until_ready()
+        _block(pipe(params, pack_alert_batch([s])))
         lat.append(time.perf_counter() - t1)
     p50_ms = float(np.median(lat) * 1e3)
 
-    print(json.dumps({
-        "metric": "alerts/sec/chip, 4-modality fusion inference",
-        "value": round(alerts_per_sec, 1),
+    # ---- native FITS stamp decode column (host plane)
+    decode_rate = None
+    try:
+        from applecider_tpu.native import decode_stamps_batch
+        from applecider_tpu.preprocessing.fitsio import write_fits_image
+
+        srng = np.random.default_rng(7)
+        stamps = [write_fits_image(srng.normal(size=(63, 63)).astype(np.float32))
+                  for _ in range(64)]
+        blobs = stamps * 12  # 768 stamps = 256 alerts x 3 cutouts
+        t0 = time.perf_counter()
+        decode_stamps_batch(blobs)
+        decode_rate = len(blobs) / 3.0 / (time.perf_counter() - t0)  # alerts/sec
+    except Exception:
+        decode_rate = None
+
+    # ---- MFU estimate on the model-only path
+    mfu_pct = None
+    if flops and on_tpu:
+        kind = str(getattr(device, "device_kind", "")).lower()
+        peak = next((v for k, v in PEAK_TFLOPS.items() if k in kind), PEAK_TFLOPS["v5e"])
+        mfu_pct = round(100.0 * flops * model_best[0] / (peak * 1e12), 2)
+
+    value = e2e_best[0]
+    payload = {
+        "metric": "alerts/sec/chip, e2e preprocess + 4-modality fusion inference",
+        "value": round(value, 1),
         "unit": "alerts/sec/chip",
-        "vs_baseline": round(alerts_per_sec / BASELINE_ALERTS_PER_SEC, 3),
-        "p50_single_alert_ms": round(p50_ms, 3),
-        "batch_size": batch_size,
-        "device": str(jax.devices()[0]),
-    }))
+        "vs_baseline": round(value / BASELINE_ALERTS_PER_SEC, 3),
+        "e2e_batch_size": e2e_best[1],
+        "model_only_alerts_per_sec": round(model_best[0], 1),
+        "model_only_batch_size": model_best[1],
+        "host_pack_alerts_per_sec": round(pack_rate, 1),
+        "native_fits_decode_alerts_per_sec": round(decode_rate, 1) if decode_rate else None,
+        "p50_single_alert_e2e_ms": round(p50_ms, 3),
+        "flops_per_alert": round(flops, 0) if flops else None,
+        "mfu_pct_model_only": mfu_pct,
+        "compile_seconds": round(compile_s, 1),
+        "device": str(device),
+    }
+    return payload
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    devices, err, hung = _probe_backend()
+    if devices is None and hung:
+        # backend lock is held by the hung init thread; CPU fallback would
+        # deadlock on it. Emit a parseable record and bail.
+        _emit({
+            "metric": "alerts/sec/chip, e2e preprocess + 4-modality fusion inference",
+            "value": 0.0, "unit": "alerts/sec/chip", "vs_baseline": 0.0,
+            "error": err,
+        })
+        os._exit(0)
+    if devices is None:
+        # init *raised* -> lock is free; fall back to CPU so the driver
+        # records a measured number instead of nothing.
+        jax.config.update("jax_platforms", "cpu")
+        devices = jax.devices()
+        err = f"TPU init failed ({err}); CPU fallback"
+
+    try:
+        payload = run_bench(devices[0])
+        if err:
+            payload["warning"] = err
+        _emit(payload)
+    except Exception as e:  # noqa: BLE001 — the JSON line must always appear
+        _emit({
+            "metric": "alerts/sec/chip, e2e preprocess + 4-modality fusion inference",
+            "value": 0.0, "unit": "alerts/sec/chip", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+            "traceback_tail": traceback.format_exc().splitlines()[-3:],
+        })
 
 
 if __name__ == "__main__":

@@ -78,9 +78,13 @@ def main(root: Path):
           np.allclose(np.asarray(warm["trunk"]["in_proj"]["kernel"]),
                       np.asarray(pre["state"].params["trunk"]["in_proj"]["kernel"])))
 
+    # the reference recipe flips use_probabilities before infer
+    # (baselineCLS_example.py:48-52)
+    rt.config.set("model.BaselineCLS.use_probabilities", True)
     probs = rt.infer()
-    print("inference:", probs.shape, "prob rows sum to",
-          float(np.asarray(probs[:2]).sum(axis=-1).mean()) if probs.size else "n/a")
+    row_sum = float(np.asarray(probs).sum(axis=-1).mean()) if probs.size else float("nan")
+    assert abs(row_sum - 1.0) < 1e-4, f"probability rows must sum to 1, got {row_sum}"
+    print("inference:", probs.shape, "prob rows sum to", row_sum)
 
     export_dir = rt.export()
     print("exported:", sorted(p.name for p in export_dir.iterdir()))
