@@ -231,6 +231,82 @@ def fusion_params(
     }
 
 
+# --------------------------------------------------------------------------
+# Real reference-module state_dict adapters.
+#
+# The converters above consume the canonical layout used by our torch
+# oracles. The *actual* reference modules use nn.Sequential index names;
+# these adapters rename a real reference state_dict into the canonical
+# layout so reference-trained checkpoints can be migrated directly.
+
+
+def rename_reference_spectranet_sd(sd: dict) -> dict:
+    """``stage{k}.{d}.*`` (build_spec_model, SpectraNet.py:9-114) ->
+    ``stages.{k-1}.{d}.*``; conv/norm/downsample/classifier names already
+    align."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("stage") and k[5].isdigit():
+            stage_no, rest = k[5:].split(".", 1)
+            out[f"stages.{int(stage_no) - 1}.{rest}"] = v
+        else:
+            out[k] = v
+    return out
+
+
+def _rename_tower(key_rest: str) -> str:
+    """ResidualTowerBlock Sequential names -> canonical tower names."""
+    table = {
+        "start_path.0": "start",
+        "activation.0": "gate_norm",
+        "activation.2": "gate_fc",
+        "main_path.0": "main_norm",
+        "main_path.2": "main_fc",
+        "skip_path": "skip",
+    }
+    for src, dst in table.items():
+        if key_rest.startswith(src + "."):
+            return dst + key_rest[len(src):]
+    return key_rest
+
+
+def rename_reference_astrominn_sd(sd: dict) -> dict:
+    """Real AstroMiNN/XastroMiNN state_dict (src astrominn.py:67-218 /
+    _archive AstroMiNN.py:1575-1728) -> canonical layout for
+    ``astrominn_params``. The image backbone is passed through under
+    ``image_tower.backbone.*`` (caller supplies a matching backbone
+    layout)."""
+    head_main = {"1": "main_norm", "2": "main_fc1", "5": "main_fc2", "6": "main_fc3"}
+    head_aux = {"0": "aux_norm", "1": "aux_fc"}
+    towers = (
+        "nst1_tower", "nst2_tower", "spatial_tower", "psf_tower",
+        "mag_tower", "coord_tower", "mega_tower", "lc_tower",
+    )
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("fusion_router.0."):
+            out["router_fc1." + k[len("fusion_router.0."):]] = v
+        elif k.startswith("fusion_router.3."):
+            out["router_fc2." + k[len("fusion_router.3."):]] = v
+        elif k.startswith("fusion_experts."):
+            idx, rest = k[len("fusion_experts."):].split(".", 1)
+            out[f"experts.{idx}." + _rename_tower(rest)] = v
+        elif k.startswith("image_tower.head_main."):
+            idx, rest = k[len("image_tower.head_main."):].split(".", 1)
+            out[f"image_tower.{head_main[idx]}.{rest}"] = v
+        elif k.startswith("image_tower.head_aux."):
+            idx, rest = k[len("image_tower.head_aux."):].split(".", 1)
+            out[f"image_tower.{head_aux[idx]}.{rest}"] = v
+        elif k.startswith("image_tower.backbone."):
+            out[k] = v
+        elif any(k.startswith(t + ".") for t in towers):
+            tower, rest = k.split(".", 1)
+            out[f"{tower}." + _rename_tower(rest)] = v
+        else:
+            out[k] = v
+    return out
+
+
 def mpt_to_classifier_warmstart(mpt_flax_params: dict) -> dict:
     """Weight surgery: MPT trunk -> fresh classifier warm start.
 

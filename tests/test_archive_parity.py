@@ -1,0 +1,226 @@
+"""Numeric parity against the REAL reference modules (not oracles).
+
+Imports the reference's own torch model files from /root/reference —
+``_archive/AppleCider/models/BaselineCLS.py``, ``SpectraNet.py`` and
+``src/applecider/models/astrominn.py`` — ports their randomly-initialized
+state_dicts with ``applecider_tpu.utils.torch_port`` and asserts logits
+match our flax modules to 1e-4 at FULL reference scale (BaselineCLS
+d=128/8h/4L, SpectraNet 5 stages with 1021-tap kernels through the FFT
+path, AstroMiNN ConvNeXt-tiny (3,3,9,3)).
+
+Environment shims (the reference hardcodes CUDA and imports unavailable
+packages):
+* ``torch.device``/``torch.zeros`` are patched to CPU during reference
+  module construction/forward;
+* ``timm`` is absent from this image, so ``timm.create_model`` is stubbed
+  with our independently-written TorchConvNeXt oracle (itself
+  parity-tested against the flax ConvNeXt in test_convnext.py) — the
+  backbone's timm-vs-oracle equivalence is the one link this test cannot
+  check on this image;
+* ``hyrax.models.hyrax_model`` is stubbed as an identity decorator.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from contextlib import contextmanager
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+
+from applecider_tpu.utils import torch_port  # noqa: E402
+from tests.torch_refs import TorchConvNeXt, state_dict_numpy  # noqa: E402
+
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
+
+
+@contextmanager
+def cpu_patched_torch():
+    """Patch torch.device / torch.zeros so 'cuda' literals land on CPU."""
+    orig_device, orig_zeros = torch.device, torch.zeros
+
+    def device(*args, **kw):
+        args = tuple(
+            "cpu" if isinstance(a, str) and a.startswith("cuda") else a for a in args
+        )
+        return orig_device(*args, **kw)
+
+    def zeros(*args, **kw):
+        d = kw.get("device")
+        if isinstance(d, str) and d.startswith("cuda"):
+            kw["device"] = "cpu"
+        elif isinstance(d, orig_device) and d.type == "cuda":
+            kw["device"] = "cpu"
+        return orig_zeros(*args, **kw)
+
+    torch.device, torch.zeros = device, zeros
+    try:
+        yield
+    finally:
+        torch.device, torch.zeros = orig_device, orig_zeros
+
+
+def _import_ref(relpath: str, name: str) -> types.ModuleType:
+    spec = importlib.util.spec_from_file_location(name, REF / relpath)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def stub_modules():
+    """timm + hyrax + applecider package stubs for importing src modules."""
+    created = []
+
+    def ensure(name: str, mod: types.ModuleType):
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            created.append(name)
+
+    timm = types.ModuleType("timm")
+
+    def create_model(model_name, pretrained=False, in_chans=3, num_classes=0, **kw):
+        assert model_name == "convnext_tiny"
+        m = TorchConvNeXt(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768), in_chans=in_chans)
+        m.num_features = 768
+        return m
+
+    timm.create_model = create_model
+    ensure("timm", timm)
+
+    hyrax = types.ModuleType("hyrax")
+    hyrax_models = types.ModuleType("hyrax.models")
+    hyrax_models.hyrax_model = lambda cls: cls
+    hyrax.models = hyrax_models
+    ensure("hyrax", hyrax)
+    ensure("hyrax.models", hyrax_models)
+    yield
+    for name in created:
+        sys.modules.pop(name, None)
+
+
+def _assert_close(ours, theirs, tol=1e-4, what=""):
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    diff = float(np.max(np.abs(ours - theirs)))
+    assert diff < tol, f"{what}: max |Δ| = {diff:.2e} >= {tol}"
+
+
+# --------------------------------------------------------------- BaselineCLS
+def test_baseline_cls_vs_archive_full_scale(rng):
+    """_archive/AppleCider/models/BaselineCLS.py:32-89 at d=128/8h/4L."""
+    mod = _import_ref("_archive/AppleCider/models/BaselineCLS.py", "ref_baseline_cls")
+    with cpu_patched_torch():
+        ref = mod.BaselineCLS(
+            d_model=128, n_heads=8, n_layers=4, num_classes=5, dropout=0.4, mode="photo"
+        ).eval()
+        x = rng.normal(size=(4, 257, 7)).astype(np.float32)
+        pad = np.zeros((4, 257), bool)
+        pad[:, 180:] = True  # realistic padding tail
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x), torch.from_numpy(pad)).numpy()
+
+    from applecider_tpu.models.baseline_cls import BaselineCLSModule
+
+    params = jax.tree.map(
+        np.asarray,
+        torch_port.baseline_cls_params(state_dict_numpy(ref), n_layers=4),
+    )
+    module = BaselineCLSModule(d_model=128, n_heads=8, n_layers=4, num_classes=5, dropout=0.4)
+    got = module.apply({"params": params}, x, pad, deterministic=True)
+    _assert_close(got, want, what="BaselineCLS full-scale logits")
+
+
+def test_baseline_cls_embedding_mode_vs_archive(rng):
+    """mode!='photo' returns the normalized CLS embedding (fusion input)."""
+    mod = _import_ref("_archive/AppleCider/models/BaselineCLS.py", "ref_baseline_cls2")
+    with cpu_patched_torch():
+        ref = mod.BaselineCLS(
+            d_model=64, n_heads=4, n_layers=2, num_classes=5, dropout=0.1, mode="fusion"
+        ).eval()
+        x = rng.normal(size=(3, 64, 7)).astype(np.float32)
+        pad = np.zeros((3, 64), bool)
+        pad[:, 40:] = True
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x), torch.from_numpy(pad)).numpy()
+
+    from applecider_tpu.models.baseline_cls import BaselineCLSModule
+
+    params = jax.tree.map(
+        np.asarray,
+        torch_port.baseline_cls_params(state_dict_numpy(ref), n_layers=2, classification=False),
+    )
+    module = BaselineCLSModule(
+        d_model=64, n_heads=4, n_layers=2, num_classes=5, dropout=0.1, classification=False
+    )
+    got = module.apply({"params": params}, x, pad, deterministic=True)
+    _assert_close(got, want, what="BaselineCLS embedding mode")
+
+
+# ---------------------------------------------------------------- SpectraNet
+def test_spectranet_vs_archive_full_scale(rng):
+    """_archive/AppleCider/models/SpectraNet.py:9-114: 5 stages, kernels up
+    to 1021 taps, channels 64->1024 — flax FFT conv path vs torch direct."""
+    mod = _import_ref("_archive/AppleCider/models/SpectraNet.py", "ref_spectranet")
+    classes = [f"c{i}" for i in range(9)]
+    ref = mod.build_spec_model({"class_order": classes}).eval()
+
+    x = rng.normal(size=(2, 3481)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x).unsqueeze(1)).numpy()
+
+    from applecider_tpu.models.spectranet import SpectraNetModule
+
+    sd = torch_port.rename_reference_spectranet_sd(state_dict_numpy(ref))
+    params = jax.tree.map(
+        np.asarray,
+        torch_port.spectranet_params(sd, depths=[1] * 5, n_kernels_per_stage=[3] * 5),
+    )
+    module = SpectraNetModule(num_classes=9, conv_mode="fft")
+    got = module.apply({"params": params}, x, deterministic=True)
+    _assert_close(got, want, what="SpectraNet full-scale logits (FFT path)")
+
+
+# ----------------------------------------------------------------- AstroMiNN
+def _load_ref_astrominn_config() -> dict:
+    import tomllib
+
+    with open(REF / "src/applecider/default_config.toml", "rb") as f:
+        cfg = tomllib.load(f)
+    cfg["model"]["AstroMiNN"]["use_probabilities"] = False
+    return cfg
+
+
+@pytest.mark.slow
+def test_astrominn_vs_src_full_scale(rng, stub_modules):
+    """src/applecider/models/astrominn.py:67-348 with ConvNeXt-tiny backbone
+    (timm stubbed by the parity-tested torch oracle)."""
+    mod = _import_ref("src/applecider/models/astrominn.py", "ref_astrominn")
+    cfg = _load_ref_astrominn_config()
+    # no cuda patching needed: the src module is device-agnostic in forward
+    ref = mod.AstroMiNN(config=cfg).eval()
+    metadata = rng.normal(size=(4, 24)).astype(np.float32)
+    image = rng.normal(size=(4, 3, 63, 63)).astype(np.float32)
+    with torch.no_grad():
+        want = ref((torch.from_numpy(metadata), torch.from_numpy(image), None)).numpy()
+
+    from applecider_tpu.models.astrominn import AstroMiNNModule
+
+    sd = torch_port.rename_reference_astrominn_sd(state_dict_numpy(ref))
+    params = jax.tree.map(
+        np.asarray, torch_port.astrominn_params(sd, backbone_depths=(3, 3, 9, 3))
+    )
+    module = AstroMiNNModule()  # defaults = full reference scale
+    got = module.apply(
+        {"params": params}, metadata, np.transpose(image, (0, 2, 3, 1)), deterministic=True
+    )
+    _assert_close(got, want, what="AstroMiNN full-scale MoE logits")
