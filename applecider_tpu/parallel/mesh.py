@@ -22,13 +22,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(devices=None, shape=(-1, 1), axes=("data", "model")) -> Mesh:
     """Create a mesh; -1 in shape absorbs the remaining devices."""
-    devices = devices if devices is not None else jax.devices()
+    devices = list(devices) if devices is not None else jax.devices()
     n = len(devices)
     shape = list(shape)
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
         shape[shape.index(-1)] = n // known
-    grid = np.asarray(devices).reshape(shape)
+    needed = int(np.prod(shape))
+    if needed > n:
+        raise ValueError(f"mesh shape {tuple(shape)} needs {needed} devices, have {n}")
+    grid = np.asarray(devices[:needed]).reshape(shape)
     return Mesh(grid, axes)
 
 
