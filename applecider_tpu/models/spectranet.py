@@ -33,7 +33,7 @@ from flax import linen as nn
 
 from applecider_tpu.models.base import Task, maybe_softmax
 from applecider_tpu.models.layers import Linear, LayerNorm, gelu_exact, torch_bias_init
-from applecider_tpu.ops.conv1d import conv1d, max_pool1d
+from applecider_tpu.ops.conv1d import avg_pool1d, conv1d, max_pool1d, min_pool1d
 from applecider_tpu.ops.losses import focal_loss
 from applecider_tpu.registry import register_model
 
@@ -198,3 +198,149 @@ class SpectraNetTask(Task):
         labels = np.asarray(data.get("label", []), dtype=np.int32)
         redshifts = np.asarray(data.get("redshift", []), dtype=np.float32)
         return (flux, labels, redshifts)
+
+
+# --------------------------------------------------------------------------
+# brew_cider variant: skip connections + max/avg/min tri-pooling.
+
+
+class SpectraBlockTriPool(nn.Module):
+    """Conv bank + norm + 1x1-conv skip + GELU (+ tri-pool x3 channels).
+
+    Behavioral contract: ``_archive/notebooks/brew_cider.py:585-708``
+    (``SpectraNetBlock`` with ``use_skip=True``). The reference uses
+    BatchNorm1d on stages 1-4 and LayerNorm on stage 5; both are supported —
+    BatchNorm runs with *frozen* running statistics (``batch_stats``
+    collection), which reproduces reference checkpoints exactly in eval and
+    keeps the training step functional. For training from scratch the
+    TPU-idiomatic choice is ``use_ln=True`` everywhere (documented
+    divergence; the reference's BN running stats don't fit a pure jit step).
+    """
+
+    out_channels: int
+    kernel_sizes: Sequence[int]
+    use_ln: bool = True
+    do_pool: bool = False  # tri-pool (max/avg/min concat) when True
+    conv_mode: str = "auto"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        k = len(self.kernel_sizes)
+        residual = Conv1dTorch(self.out_channels * k, 1, conv_mode="direct", name="proj")(x)
+        feats = [
+            Conv1dTorch(self.out_channels, ks, conv_mode=self.conv_mode, name=f"conv_{i}")(x)
+            for i, ks in enumerate(self.kernel_sizes)
+        ]
+        x = jnp.concatenate(feats, axis=-1)
+        if self.use_ln:
+            x = LayerNorm(name="norm")(x)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=True, momentum=0.9, epsilon=1e-5, name="norm"
+            )(x)
+        x = residual + x
+        x = gelu_exact(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        if self.do_pool:
+            x = jnp.concatenate(
+                [max_pool1d(x, 4), avg_pool1d(x, 4), min_pool1d(x, 4)], axis=-1
+            )
+        return x
+
+
+class SpectraNetTriPoolModule(nn.Module):
+    """brew_cider's richer SpectraNet (``brew_cider.py:585-708``): 5 stages
+    of skip-connected conv banks, tri-pooling between stages (tripling
+    channels), flatten in channel-major order, 2-layer MLP embedding head
+    (2048 -> 256) + optional classifier."""
+
+    channels: Sequence[int] = (16, 32, 64, 128, 256)
+    depths: Sequence[int] = (1, 1, 1, 1, 1)
+    kernel_sizes_per_stage: Sequence[Sequence[int]] = (
+        (3, 61, 1021), (3, 31, 251), (3, 15, 61), (3, 11, 31), (3, 7, 13),
+    )
+    use_ln_stages: Sequence[bool] = (False, False, False, False, True)
+    num_classes: int = 9
+    classification: bool = True
+    conv_mode: str = "auto"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if x.ndim == 2:
+            x = x[..., None]
+        x = x.astype(self.dtype or jnp.float32)
+        n_stages = len(self.channels)
+        for s in range(n_stages):
+            is_last = s == n_stages - 1
+            for d in range(int(self.depths[s])):
+                x = SpectraBlockTriPool(
+                    out_channels=int(self.channels[s]),
+                    kernel_sizes=tuple(self.kernel_sizes_per_stage[s]),
+                    use_ln=bool(self.use_ln_stages[s]),
+                    do_pool=(not is_last) and d == int(self.depths[s]) - 1,
+                    conv_mode=self.conv_mode,
+                    dtype=self.dtype,
+                    name=f"stage{s}_block{d}",
+                )(x, deterministic=deterministic)
+        # reference flattens (B, C, L) channel-major; we carry (B, L, C)
+        z = jnp.transpose(x, (0, 2, 1)).reshape(x.shape[0], -1).astype(jnp.float32)
+        h = Linear(2048, name="head_fc1")(z)
+        h = LayerNorm(name="head_norm1")(h)
+        h = nn.Dropout(0.5)(gelu_exact(h), deterministic=deterministic)
+        h = Linear(256, name="head_fc2")(h)
+        h = LayerNorm(name="head_norm2")(h)
+        h = nn.Dropout(0.3)(gelu_exact(h), deterministic=deterministic)
+        if self.classification:
+            return Linear(self.num_classes, name="fc")(h)
+        return h
+
+
+@register_model(name="SpectraNetTriPool")
+class SpectraNetTriPoolTask(Task):
+    """Task wrapper for the tri-pooling variant (LN everywhere for training;
+    see SpectraBlockTriPool docstring for the BatchNorm stance)."""
+
+    name = "SpectraNetTriPool"
+    grad_clip = 1.0
+
+    def __init__(self, config):
+        super().__init__(config)
+        mc = dict(config["model"].get("SpectraNetTriPool", {}))
+        self.mc = mc
+        n_stages = len(mc.get("channels", (16, 32, 64, 128, 256)))
+        self.module = SpectraNetTriPoolModule(
+            channels=tuple(mc.get("channels", (16, 32, 64, 128, 256))),
+            depths=tuple(mc.get("depths", (1,) * n_stages)),
+            use_ln_stages=tuple(mc.get("use_ln_stages", (True,) * n_stages)),
+            num_classes=int(mc.get("num_classes", 9)),
+            conv_mode=str(mc.get("conv_mode", "auto")),
+            dtype=self.compute_dtype(),
+        )
+
+    def init(self, rng, batch):
+        return self.module.init({"params": rng}, jnp.asarray(batch[0]), deterministic=True)
+
+    def loss_fn(self, params, batch, rng, train: bool):
+        flux, labels = batch[0], batch[1]
+        logits = self.module.apply(
+            {"params": params}, flux,
+            deterministic=not train, rngs={"dropout": rng} if train else {},
+        )
+        gamma = float(self.mc.get("focal_gamma", 2.0))
+        loss = focal_loss(logits, labels, gamma=gamma)
+        return loss, {"metrics": {"loss": loss}, "logits": logits}
+
+    def predict(self, params, batch):
+        flux = batch[0] if isinstance(batch, (tuple, list)) else batch
+        out = self.module.apply({"params": params}, flux, deterministic=True)
+        return maybe_softmax(out, bool(self.mc.get("use_probabilities", False)))
+
+    def make_optimizer(self):
+        return optax.adamw(
+            float(self.mc.get("lr", 1e-4)), weight_decay=float(self.mc.get("weight_decay", 1e-2))
+        )
+
+    to_tensor = staticmethod(SpectraNetTask.to_tensor)

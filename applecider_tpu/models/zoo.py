@@ -181,9 +181,48 @@ class ProbSparseSelfAttention(nn.Module):
         return Linear(D, dtype=self.dtype, name="out_proj")(out)
 
 
+class DistilConvLayer(nn.Module):
+    """Informer's self-attention distilling between encoder stages
+    (canonical design, AAAI'21 paper §3.3: Conv1d(k=3) + norm + ELU +
+    MaxPool(3, stride 2) — halves the sequence). The reference's copy of
+    Informer drops these (its ``Encoder`` at ``other models/Informer.py:231``
+    takes attention layers only); provided here as an option for the
+    canonical architecture. Norm is LayerNorm (the paper's BatchNorm1d
+    running stats don't fit the functional TPU step)."""
+
+    d_model: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (3, x.shape[-1], self.d_model),
+        )
+        x = conv1d(x.astype(jnp.float32), kernel, mode="direct")
+        x = LayerNorm(name="norm")(x)
+        x = nn.elu(x)
+        # MaxPool1d(kernel=3, stride=2, padding=1)
+        x = jnp.pad(x, ((0, 0), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 3, 1), window_strides=(1, 2, 1), padding="VALID",
+        )
+        return x.astype(self.dtype or jnp.float32)
+
+
 @register_model(name="Informer")
 class Informer(nn.Module):
-    """Informer-style encoder classifier over event sequences."""
+    """Informer-style encoder classifier over event sequences.
+
+    ``head="flatten"`` reproduces the reference head exactly
+    (``other models/Informer.py:297-309``): encoder output is multiplied by
+    the valid-token mask, flattened to (B, L*d_model), then classified.
+    ``head="mean"`` is the TPU-friendly default (no L*d_model weight blow-up).
+    ``distil=True`` inserts the canonical distilling conv+pool between
+    encoder stages (halving L each time; absent from the reference's copy).
+    """
 
     c_in: int = 7
     d_model: int = 128
@@ -192,10 +231,12 @@ class Informer(nn.Module):
     dropout: float = 0.1
     num_classes: int = 5
     classification: bool = True
+    head: str = "mean"  # "mean" | "flatten"
+    distil: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, mask=None, *, deterministic: bool = True):
         B, L, _ = x.shape
         # token embedding: conv1d over time (Informer's TokenEmbedding)
         kernel = self.param(
@@ -218,8 +259,33 @@ class Informer(nn.Module):
             f = Linear(4 * self.d_model, name=f"ff1_{i}")(h)
             f = Linear(self.d_model, name=f"ff2_{i}")(nn.relu(f))
             h = LayerNorm(name=f"norm2_{i}")(h + nn.Dropout(self.dropout)(f, deterministic=deterministic))
+            if self.distil and i < self.n_layers - 1:
+                h = DistilConvLayer(self.d_model, dtype=self.dtype, name=f"distil_{i}")(h)
+                if mask is not None:  # pool the valid mask alongside
+                    m = jnp.pad(mask.astype(jnp.float32)[..., None], ((0, 0), (1, 1), (0, 0)))
+                    m = jax.lax.reduce_window(
+                        m, -jnp.inf, jax.lax.max,
+                        window_dimensions=(1, 3, 1), window_strides=(1, 2, 1),
+                        padding="VALID",
+                    )
+                    mask = m[..., 0] > 0
+        h = LayerNorm(name="norm_final")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
-        h = jnp.mean(h, axis=1)
+        if self.head == "flatten":
+            # reference head: zero padding embeddings, flatten L*d_model
+            valid = (
+                mask.astype(h.dtype)
+                if mask is not None
+                else jnp.ones(h.shape[:2], h.dtype)
+            )
+            h = (h * valid[..., None]).reshape(B, -1)
+        else:
+            if mask is not None:
+                valid = mask.astype(h.dtype)[..., None]
+                h = jnp.sum(h * valid, axis=1) / jnp.maximum(jnp.sum(valid, axis=1), 1.0)
+            else:
+                h = jnp.mean(h, axis=1)
         if self.classification:
             h = Linear(self.num_classes, name="fc")(h)
         return h.astype(jnp.float32)

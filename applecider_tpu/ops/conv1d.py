@@ -93,6 +93,24 @@ def conv1d(
     return conv1d_direct(x, kernel, bias)
 
 
+def avg_pool1d(x: jax.Array, window: int) -> jax.Array:
+    """torch AvgPool1d(window) semantics: stride=window, no padding (floor)."""
+    usable = (x.shape[1] // window) * window
+    x = x[:, :usable]
+    summed = lax.reduce_window(
+        x, 0.0, lax.add,
+        window_dimensions=(1, window, 1),
+        window_strides=(1, window, 1),
+        padding="VALID",
+    )
+    return summed / window
+
+
+def min_pool1d(x: jax.Array, window: int) -> jax.Array:
+    """The brew_cider ``-MaxPool1d(-x)`` min-pooling trick, directly."""
+    return -max_pool1d(-x, window)
+
+
 def max_pool1d(x: jax.Array, window: int) -> jax.Array:
     """torch MaxPool1d(window) semantics: stride=window, no padding (floor)."""
     L = x.shape[1]

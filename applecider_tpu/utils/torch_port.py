@@ -231,6 +231,40 @@ def fusion_params(
     }
 
 
+def spectranet_tripool_params(sd: dict, depths, use_ln_stages) -> tuple[dict, dict]:
+    """brew_cider tri-pool SpectraNet state_dict -> (flax params, batch_stats).
+
+    Torch layout (``_archive/notebooks/brew_cider.py:585-708``):
+    ``stage{k}.{d}.{convs.{i},norm,proj}`` + head ``class_model.{0,1,4,5}``
+    (+ optional ``fc``). BatchNorm stages contribute running_mean/var to the
+    ``batch_stats`` collection (scale/bias to params).
+    """
+    params: dict = {}
+    stats: dict = {}
+    for s in range(len(depths)):
+        for d in range(int(depths[s])):
+            prefix = f"stage{s + 1}.{d}"
+            block = {
+                f"conv_{i}": conv1d_params(sd, f"{prefix}.convs.{i}")
+                for i in range(3)
+            }
+            block["proj"] = conv1d_params(sd, f"{prefix}.proj")
+            block["norm"] = _ln(sd, f"{prefix}.norm")
+            params[f"stage{s}_block{d}"] = block
+            if not use_ln_stages[s]:
+                stats[f"stage{s}_block{d}"] = {"norm": {
+                    "mean": sd[f"{prefix}.norm.running_mean"],
+                    "var": sd[f"{prefix}.norm.running_var"],
+                }}
+    params["head_fc1"] = _lin(sd, "class_model.0")
+    params["head_norm1"] = _ln(sd, "class_model.1")
+    params["head_fc2"] = _lin(sd, "class_model.4")
+    params["head_norm2"] = _ln(sd, "class_model.5")
+    if "fc.weight" in sd:
+        params["fc"] = _lin(sd, "fc")
+    return params, stats
+
+
 # --------------------------------------------------------------------------
 # Real reference-module state_dict adapters.
 #

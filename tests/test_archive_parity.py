@@ -190,6 +190,48 @@ def test_spectranet_vs_archive_full_scale(rng):
     _assert_close(got, want, what="SpectraNet full-scale logits (FFT path)")
 
 
+# ------------------------------------------------------- tri-pool SpectraNet
+def _extract_callable(relpath: str, func_name: str):
+    """Exec just one top-level function from a reference script that cannot
+    be imported whole (module-level cuda/optuna side effects)."""
+    import ast
+
+    src = (REF / relpath).read_text()
+    # notebook-exported scripts carry ipython magics; strip them
+    src = "\n".join(
+        line for line in src.splitlines() if not line.lstrip().startswith("%")
+    )
+    tree = ast.parse(src)
+    node = next(n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name == func_name)
+    ns = {"torch": torch, "nn": torch.nn, "F": torch.nn.functional}
+    exec(compile(ast.Module(body=[node], type_ignores=[]), relpath, "exec"), ns)
+    return ns[func_name]
+
+
+def test_spectranet_tripool_vs_brew_cider():
+    """brew_cider.py:585-708: skip-connected conv banks + max/avg/min
+    tri-pooling, BN stages 1-4 (frozen running stats) + LN stage 5."""
+    build = _extract_callable("_archive/notebooks/brew_cider.py", "build_spec_model")
+    ref = build({"mode": "spectra", "classes": [f"c{i}" for i in range(9)]}).eval()
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 4096)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x).unsqueeze(1)).numpy()
+
+    from applecider_tpu.models.spectranet import SpectraNetTriPoolModule
+
+    use_ln = (False, False, False, False, True)
+    params, stats = torch_port.spectranet_tripool_params(
+        state_dict_numpy(ref), depths=[1] * 5, use_ln_stages=use_ln
+    )
+    params = jax.tree.map(np.asarray, params)
+    module = SpectraNetTriPoolModule(num_classes=9, use_ln_stages=use_ln, conv_mode="fft")
+    got = module.apply({"params": params, "batch_stats": stats}, x, deterministic=True)
+    assert got.shape == (2, 9)
+    _assert_close(got, want, what="tri-pool SpectraNet logits")
+
+
 # ----------------------------------------------------------------- AstroMiNN
 def _load_ref_astrominn_config() -> dict:
     import tomllib
@@ -198,6 +240,49 @@ def _load_ref_astrominn_config() -> dict:
         cfg = tomllib.load(f)
     cfg["model"]["AstroMiNN"]["use_probabilities"] = False
     return cfg
+
+
+def test_xastrominn_4channel_vs_archive(rng):
+    """_archive/AppleCider/models/AstroMiNN.py:1575-1728 (XastroMiNN,
+    in_chans=4): the 4-channel image-tower variant. Flax's ConvNeXt infers
+    stem input channels, so the same module serves 3- and 4-channel stacks."""
+    import tests.torch_refs as tr
+
+    timm = types.ModuleType("timm")
+
+    def create_model(model_name, pretrained=False, in_chans=3, num_classes=0, **kw):
+        m = tr.TorchConvNeXt(depths=(1, 1), dims=(8, 16), in_chans=in_chans)
+        m.num_features = 16
+        return m
+
+    timm.create_model = create_model
+    had_timm = "timm" in sys.modules
+    saved = sys.modules.get("timm")
+    sys.modules["timm"] = timm
+    try:
+        mod = _import_ref("_archive/AppleCider/models/AstroMiNN.py", "ref_xastrominn")
+        mod.device = torch.device("cpu")  # module-level cuda global
+        ref = mod.XastroMiNN().eval()
+        metadata = rng.normal(size=(4, 24)).astype(np.float32)
+        image = rng.normal(size=(4, 4, 63, 63)).astype(np.float32)  # 4 channels
+        with cpu_patched_torch():  # forward hardcodes torch.zeros(..., device="cuda")
+            with torch.no_grad():
+                want = ref(torch.from_numpy(metadata), torch.from_numpy(image)).numpy()
+    finally:
+        if had_timm:
+            sys.modules["timm"] = saved
+        else:
+            sys.modules.pop("timm", None)
+
+    from applecider_tpu.models.astrominn import AstroMiNNModule
+
+    sd = torch_port.rename_reference_astrominn_sd(state_dict_numpy(ref))
+    params = jax.tree.map(np.asarray, torch_port.astrominn_params(sd, backbone_depths=(1, 1)))
+    module = AstroMiNNModule(backbone_depths=(1, 1), backbone_dims=(8, 16))
+    got = module.apply(
+        {"params": params}, metadata, np.transpose(image, (0, 2, 3, 1)), deterministic=True
+    )
+    _assert_close(got, want, what="XastroMiNN 4-channel MoE logits")
 
 
 @pytest.mark.slow

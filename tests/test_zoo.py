@@ -75,6 +75,46 @@ def test_informer(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_informer_distil_halves_sequence(rng):
+    """Canonical distilling conv between stages: L -> ceil(L/2) per stage."""
+    m = Informer(
+        d_model=32, n_heads=4, n_layers=3, num_classes=5,
+        classification=False, distil=True, dtype=jnp.float32,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 40, 7)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    out = m.apply({"params": params}, x)
+    # 2 distil layers between 3 stages: 40 -> 20 -> 10 tokens, mean head
+    assert out.shape == (2, 32)
+    assert {f"distil_{i}" in params for i in (0, 1)} == {True}
+    assert "distil_2" not in params
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_informer_flatten_head_masks_padding(rng):
+    """Reference head (Informer.py:297-309): padded token embeddings are
+    zeroed before the flatten, so changing padded inputs can't leak."""
+    m = Informer(d_model=16, n_heads=2, n_layers=1, num_classes=5,
+                 head="flatten", dtype=jnp.float32)
+    x = rng.normal(size=(2, 24, 7)).astype(np.float32)
+    mask = np.zeros((2, 24), bool)
+    mask[:, :15] = True  # valid prefix
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask))["params"]
+    out1 = m.apply({"params": params}, jnp.asarray(x), jnp.asarray(mask))
+    assert out1.shape == (2, 5)
+    x2 = x.copy()
+    x2[:, 15:] += 100.0  # perturb ONLY padded positions
+    out2 = m.apply({"params": params}, jnp.asarray(x2), jnp.asarray(mask))
+    # ProbSparse attention is global, so padded keys do participate upstream
+    # (exactly as in the reference, which passes attn_mask=None); the head
+    # itself must still zero the padded embeddings before flattening.
+    h1 = m.copy(classification=False).apply({"params": {k: v for k, v in params.items() if k != "fc"}},
+                                            jnp.asarray(x), jnp.asarray(mask))
+    assert h1.shape == (2, 24 * 16)
+    padded_cols = np.asarray(h1).reshape(2, 24, 16)[:, 15:]
+    assert np.abs(padded_cols).max() == 0.0
+
+
 def test_spectra_vit(rng):
     m = SpectraViT(backbone_dim=32, backbone_depth=1, s_dim=16, num_classes=9, dtype=jnp.float32)
     x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
