@@ -46,6 +46,7 @@ class BaselineCLSEncoder(nn.Module):
     n_layers: int
     dropout: float
     dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic: bool = True, te_dropout: bool = False):
@@ -66,6 +67,7 @@ class BaselineCLSEncoder(nn.Module):
             self.d_model * 4,
             self.dropout,
             dtype=self.dtype,
+            attn_impl=self.attn_impl,
             name="encoder",
         )(h, pad, deterministic=deterministic)
         return z
@@ -79,12 +81,13 @@ class BaselineCLSModule(nn.Module):
     dropout: float = 0.40
     classification: bool = True
     dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic: bool = True):
         z = BaselineCLSEncoder(
             self.d_model, self.n_heads, self.n_layers, self.dropout,
-            dtype=self.dtype, name="trunk",
+            dtype=self.dtype, attn_impl=self.attn_impl, name="trunk",
         )(x, pad_mask, deterministic=deterministic)
         out = LayerNorm(dtype=self.dtype, name="norm")(z[:, 0])
         if self.classification:
@@ -110,6 +113,7 @@ class BaselineCLSTask(Task):
             dropout=float(mc["dropout"]),
             classification=(mc.get("mode", "photo") == "photo"),
             dtype=self.compute_dtype(),
+            attn_impl=str(mc.get("attention_impl", "xla")),
         )
 
     def init(self, rng, batch):

@@ -89,7 +89,9 @@ class AppleCiderTask(Task):
         photometry = BaselineCLSModule(
             d_model=int(pc["d_model"]), n_heads=int(pc["n_heads"]),
             n_layers=int(pc["n_layers"]), dropout=float(pc["dropout"]),
-            classification=False, dtype=dtype, name="photometry_encoder",
+            classification=False, dtype=dtype,
+            attn_impl=str(pc.get("attention_impl", "xla")),
+            name="photometry_encoder",
         )
         sc = config["model"]["SpectraNet"]
         spectra = SpectraNetModule(

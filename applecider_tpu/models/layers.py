@@ -135,12 +135,14 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.0
     activation: Callable = nn.relu
     dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, *, deterministic: bool = True):
         D = x.shape[-1]
         attn_out = MultiHeadSelfAttention(
-            self.num_heads, self.dropout, dtype=self.dtype, name="self_attn"
+            self.num_heads, self.dropout, dtype=self.dtype, impl=self.attn_impl,
+            name="self_attn",
         )(x, key_padding_mask, deterministic=deterministic)
         attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
         x = LayerNorm(dtype=self.dtype, name="norm1")(x + attn_out)
@@ -160,6 +162,7 @@ class TransformerEncoder(nn.Module):
     dim_feedforward: int
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, *, deterministic: bool = True):
@@ -169,6 +172,7 @@ class TransformerEncoder(nn.Module):
                 self.dim_feedforward,
                 self.dropout,
                 dtype=self.dtype,
+                attn_impl=self.attn_impl,
                 name=f"layer_{i}",
             )(x, key_padding_mask, deterministic=deterministic)
         return x

@@ -52,3 +52,29 @@ def test_encoder_layer_with_pallas_impl(rng):
     m_pl = MultiHeadSelfAttention(4, 0.0, dtype=jnp.float32, impl="pallas_interpret")
     out = m_pl.apply({"params": params}, x, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_attention_impl_config_plumbing(rng):
+    """model.BaselineCLS.attention_impl reaches the encoder: the
+    pallas_interpret task produces the same logits as the default."""
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.models.baseline_cls import BaselineCLSTask
+
+    x = rng.normal(size=(2, 24, 7)).astype(np.float32)
+    pad = np.zeros((2, 24), bool)
+    pad[:, 16:] = True
+
+    def logits(impl):
+        cfg = load_defaults()
+        cfg.set("model.BaselineCLS.d_model", 16)
+        cfg.set("model.BaselineCLS.n_heads", 2)
+        cfg.set("model.BaselineCLS.n_layers", 1)
+        cfg.set("model.BaselineCLS.dropout", 0.0)
+        cfg.set("model.BaselineCLS.attention_impl", impl)
+        cfg.set("train.compute_dtype", "float32")
+        task = BaselineCLSTask(cfg)
+        batch = (x, pad, np.zeros(2, np.int64))
+        params = task.init(jax.random.PRNGKey(0), batch)["params"]
+        return np.asarray(task.predict(params, batch))
+
+    np.testing.assert_allclose(logits("pallas_interpret"), logits("xla"), atol=1e-5)
