@@ -38,6 +38,23 @@ from applecider_tpu.ops.losses import focal_loss
 from applecider_tpu.registry import register_model
 
 
+def _takes_fft_path(k: int, mode: str) -> bool:
+    from applecider_tpu.ops.conv1d import FFT_KERNEL_THRESHOLD
+
+    return mode == "fft" or (mode == "auto" and k >= FFT_KERNEL_THRESHOLD)
+
+
+def _bank_fft_len(L: int, kernel_sizes, mode: str) -> Optional[int]:
+    """Shared 5-smooth FFT length for the bank's FFT-path kernels, so their
+    input rfft CSEs into one transform per stage."""
+    from applecider_tpu.ops.conv1d import _next_fast_len
+
+    ks = [k for k in kernel_sizes if _takes_fft_path(k, mode)]
+    if not ks:
+        return None
+    return _next_fast_len(L + max(ks) - 1)
+
+
 def _torch_conv_kernel_init(key, shape, dtype=jnp.float32):
     """torch Conv1d default init for kernel (K, Cin, Cout): U(+-1/sqrt(Cin*K))."""
     k, cin, _ = shape
@@ -46,18 +63,22 @@ def _torch_conv_kernel_init(key, shape, dtype=jnp.float32):
 
 
 class Conv1dTorch(nn.Module):
-    """Conv1d with torch-default init; 'same' padding, odd kernels."""
+    """Conv1d with torch-default init; 'same' padding, odd kernels.
+
+    ``fft_len`` forces a shared FFT length so that every kernel in a bank
+    reuses one rfft of the input (XLA CSE)."""
 
     features: int
     kernel_size: int
     conv_mode: str = "auto"
+    fft_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
         kernel = self.param("kernel", _torch_conv_kernel_init, (self.kernel_size, cin, self.features))
         bias = self.param("bias", torch_bias_init(cin * self.kernel_size), (self.features,))
-        return conv1d(x, kernel, bias, mode=self.conv_mode)
+        return conv1d(x, kernel, bias, mode=self.conv_mode, fft_len=self.fft_len)
 
 
 class SpectraBlock(nn.Module):
@@ -72,8 +93,11 @@ class SpectraBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        fft_len = _bank_fft_len(x.shape[1], self.kernel_sizes, self.conv_mode)
         feats = [
-            Conv1dTorch(self.out_channels, k, conv_mode=self.conv_mode, name=f"conv_{i}")(x)
+            Conv1dTorch(self.out_channels, k, conv_mode=self.conv_mode,
+                        fft_len=fft_len if _takes_fft_path(k, self.conv_mode) else None,
+                        name=f"conv_{i}")(x)
             for i, k in enumerate(self.kernel_sizes)
         ]
         x = jnp.concatenate(feats, axis=-1)
@@ -228,8 +252,11 @@ class SpectraBlockTriPool(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         k = len(self.kernel_sizes)
         residual = Conv1dTorch(self.out_channels * k, 1, conv_mode="direct", name="proj")(x)
+        fft_len = _bank_fft_len(x.shape[1], self.kernel_sizes, self.conv_mode)
         feats = [
-            Conv1dTorch(self.out_channels, ks, conv_mode=self.conv_mode, name=f"conv_{i}")(x)
+            Conv1dTorch(self.out_channels, ks, conv_mode=self.conv_mode,
+                        fft_len=fft_len if _takes_fft_path(ks, self.conv_mode) else None,
+                        name=f"conv_{i}")(x)
             for i, ks in enumerate(self.kernel_sizes)
         ]
         x = jnp.concatenate(feats, axis=-1)

@@ -58,15 +58,23 @@ def _next_fast_len(n: int) -> int:
     return best
 
 
-def conv1d_fft(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+def conv1d_fft(
+    x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
+    n: int | None = None,
+) -> jax.Array:
     """'same' cross-correlation via rfft, numerically f32.
 
     Equivalent to ``conv1d_direct`` for odd K: linear convolution with the
-    flipped kernel, sliced at offset K//2.
+    flipped kernel, sliced at offset K//2. Pass a shared ``n`` (>= L+K-1)
+    when several kernels convolve the same input — identical rfft(x, n)
+    calls then CSE into one input FFT per bank (SpectraNet's multi-kernel
+    stages).
     """
     B, L, Cin = x.shape
     K, _, Cout = kernel.shape
-    n = _next_fast_len(L + K - 1)
+    if n is None:
+        n = _next_fast_len(L + K - 1)
+    assert n >= L + K - 1, f"fft length {n} < L+K-1 = {L + K - 1}"
     xf = jnp.fft.rfft(x.astype(jnp.float32), n=n, axis=1)  # (B, F, Cin)
     wf = jnp.fft.rfft(kernel[::-1].astype(jnp.float32), n=n, axis=0)  # (F, Cin, Cout)
     yf = jnp.einsum("bfi,fio->bfo", xf, wf)
@@ -82,14 +90,17 @@ def conv1d(
     kernel: jax.Array,
     bias: jax.Array | None = None,
     mode: str = "auto",
+    fft_len: int | None = None,
 ) -> jax.Array:
     """Dispatch between direct and FFT paths.
 
     mode: "auto" (FFT for K >= 64), "direct" (exact parity path), "fft".
+    ``fft_len``: shared FFT length for kernel banks over one input (see
+    ``conv1d_fft``).
     """
     k = kernel.shape[0]
     if mode == "fft" or (mode == "auto" and k >= FFT_KERNEL_THRESHOLD):
-        return conv1d_fft(x, kernel, bias)
+        return conv1d_fft(x, kernel, bias, n=fft_len)
     return conv1d_direct(x, kernel, bias)
 
 
