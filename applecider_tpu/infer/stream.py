@@ -178,7 +178,10 @@ class AlertStreamPipeline:
     """
 
     def __init__(self, task, stats_mean=None, stats_std=None, dt_hours: float = 12.0,
-                 wave_grid: Optional[np.ndarray] = None):
+                 wave_grid: Optional[np.ndarray] = None, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the raw batch shards
+        dim-0 over the ``data`` axis (params replicated), so one pipeline
+        call fans out over every chip of a pod slice."""
         self.task = task
         self.mean = jnp.asarray(
             stats_mean if stats_mean is not None else np.zeros(4, np.float32)
@@ -190,6 +193,9 @@ class AlertStreamPipeline:
         if wave_grid is None:
             wave_grid = np.linspace(4500.0, 7980.0, 3481, dtype=np.float32)
         self.grid = jnp.asarray(wave_grid)
+        self.mesh = mesh
+        self._placed_params = None
+        self._placed_src = None
         self._jitted = jax.jit(self._forward)
 
     def _forward(self, params, raw):
@@ -219,6 +225,14 @@ class AlertStreamPipeline:
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     def __call__(self, params, raw):
+        if self.mesh is not None:
+            from applecider_tpu.parallel.mesh import replicate, shard_batch
+
+            raw = shard_batch(raw, self.mesh)
+            if self._placed_params is None or self._placed_src is not id(params):
+                self._placed_params = replicate(params, self.mesh)
+                self._placed_src = id(params)
+            params = self._placed_params
         return self._jitted(params, raw)
 
 

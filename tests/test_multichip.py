@@ -124,3 +124,31 @@ def test_trainer_fit_mesh_matches_single_device(tmp_path):
     losses_single = run((1, 1), tmp_path / "single")
     assert np.isfinite(losses_mesh).all()
     np.testing.assert_allclose(losses_mesh, losses_single, rtol=2e-4, atol=1e-5)
+
+
+@needs_8
+def test_stream_pipeline_sharded_matches_single(tmp_path):
+    """AlertStreamPipeline over an 8-device data mesh: outputs equal the
+    unsharded pipeline, and the packed batch actually shards dim 0."""
+    from applecider_tpu.infer.stream import AlertStreamPipeline, pack_alert_batch
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _fusion_batch, _fusion_task
+    from bench import make_stream_samples
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    batch = _fusion_batch(8, tiny=True)
+    params = task.init(jax.random.PRNGKey(0), batch)["params"]
+
+    raw = pack_alert_batch(make_stream_samples(8, seed=2), max_photo=32, max_spec=64)
+    grid = np.linspace(4500.0, 7980.0, 128).astype(np.float32)
+
+    plain = AlertStreamPipeline(task, wave_grid=grid)
+    probs_plain = np.asarray(plain(params, raw))
+
+    mesh = make_mesh(shape=(8, 1))
+    sharded = AlertStreamPipeline(task, wave_grid=grid, mesh=mesh)
+    out = sharded(params, raw)
+    assert len({s.device for s in out.addressable_shards}) == 8
+    np.testing.assert_allclose(np.asarray(out), probs_plain, rtol=2e-5, atol=2e-6)
