@@ -83,10 +83,32 @@ class EMA:
         return self.shadow
 
 
+def with_plateau_scale(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Append a host-adjustable LR multiplier to a transformation.
+
+    The multiplier lives in the optimizer state (``inject_hyperparams``),
+    so the Trainer can lower it between epochs — torch
+    ``ReduceLROnPlateau.step(val_loss)`` semantics — without recompiling
+    the jitted train step.
+    """
+    return optax.chain(tx, optax.inject_hyperparams(optax.scale)(step_size=1.0))
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Return ``opt_state`` with the plateau multiplier set to ``scale``."""
+    inject = opt_state[-1]
+    hyper = dict(inject.hyperparams)
+    hyper["step_size"] = jnp.asarray(scale, dtype=jnp.asarray(hyper["step_size"]).dtype)
+    return opt_state[:-1] + (inject._replace(hyperparams=hyper),)
+
+
 class ReduceLROnPlateau:
     """Host-side plateau tracker -> multiplicative LR scale.
 
-    The scale is consumed by schedules built via ``scaled_schedule``.
+    Consumed by the Trainer: the returned scale is written into the
+    optimizer state built with ``with_plateau_scale``
+    (reference semantics: ``core/trainer.py:233-238`` steps a torch
+    ReduceLROnPlateau on val loss each epoch).
     """
 
     def __init__(self, factor: float = 0.5, patience: int = 5, min_scale: float = 1e-3):

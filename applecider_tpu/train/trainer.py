@@ -29,7 +29,14 @@ import optax
 
 from applecider_tpu.ops.metrics import classification_report
 from applecider_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from applecider_tpu.train.optim import EMA, EarlyStopping, with_grad_clip
+from applecider_tpu.train.optim import (
+    EMA,
+    EarlyStopping,
+    ReduceLROnPlateau,
+    set_plateau_scale,
+    with_grad_clip,
+    with_plateau_scale,
+)
 
 
 class TrainState:
@@ -56,6 +63,15 @@ class Trainer:
             mesh = make_mesh(shape=shape, axes=axes)
         self.mesh = mesh
         self.tx = with_grad_clip(task.make_optimizer(), task.grad_clip)
+        plateau_factor = float(config.get_path("train.plateau_factor", default=0.0))
+        self.plateau = None
+        if plateau_factor > 0.0:
+            self.tx = with_plateau_scale(self.tx)
+            self.plateau = ReduceLROnPlateau(
+                factor=plateau_factor,
+                patience=int(config.get_path("train.plateau_patience", default=5)),
+                min_scale=float(config.get_path("train.plateau_min_scale", default=1e-3)),
+            )
         self._train_step = None
         self._eval_step = None
         self._log_file = self.workdir / "metrics.jsonl"
@@ -205,6 +221,10 @@ class Trainer:
                     best_metric = monitor
                     self.save_checkpoint(state, epoch, tag="best")
                 should_stop = stopper.step(val.get("loss", train_loss))
+                if self.plateau is not None:
+                    scale = self.plateau.step(val.get("loss", train_loss))
+                    state.opt_state = set_plateau_scale(state.opt_state, scale)
+                    record["lr_scale"] = scale
                 if pruning_hook is not None and pruning_hook.report_and_maybe_prune(
                     val.get("loss", train_loss), epoch
                 ):

@@ -130,3 +130,60 @@ def test_logit_sequence_dataset(tmp_path, rng):
     batch = ds.collate([ds.sample(i) for i in range(4)])["data"]
     assert batch["sequence"].shape == (4, 10, 12)
     assert batch["pad_mask"].shape == (4, 10)
+
+
+def test_plateau_scale_halves_updates():
+    """with_plateau_scale: host-set multiplier scales optimizer updates
+    without rebuilding the transformation."""
+    import jax.numpy as jnp
+    import optax
+
+    from applecider_tpu.train.optim import set_plateau_scale, with_plateau_scale
+
+    tx = with_plateau_scale(optax.sgd(1.0))
+    params = {"w": jnp.ones(3)}
+    grads = {"w": jnp.full(3, 2.0)}
+    state = tx.init(params)
+    up1, state = tx.update(grads, state, params)
+    state = set_plateau_scale(state, 0.5)
+    up2, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(up2["w"]), np.asarray(up1["w"]) * 0.5)
+
+
+def test_trainer_plateau_lowers_lr_scale(tmp_path):
+    """plateau_factor>0: non-improving val loss lowers the logged lr_scale."""
+    import jax
+
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.models.baseline_cls import BaselineCLSTask
+    from applecider_tpu.train.trainer import Trainer
+
+    rng_np = np.random.default_rng(0)
+    photometry = rng_np.normal(size=(8, 16, 7)).astype(np.float32)
+    pad = np.zeros((8, 16), bool)
+    labels = rng_np.integers(0, 5, 8).astype(np.int64)
+
+    class Loader:
+        def __iter__(self):
+            yield {"data": {"photometry": photometry, "pad_mask": pad, "label": labels,
+                            "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}}
+
+        def set_epoch(self, epoch):
+            pass
+
+    cfg = load_defaults()
+    cfg.set("model.BaselineCLS.d_model", 16)
+    cfg.set("model.BaselineCLS.n_heads", 2)
+    cfg.set("model.BaselineCLS.n_layers", 1)
+    cfg.set("model.BaselineCLS.dropout", 0.0)
+    cfg.set("model.BaselineCLS.lr", 0.0)  # loss cannot improve -> plateau fires
+    cfg.set("train.compute_dtype", "float32")
+    cfg.set("train.plateau_factor", 0.5)
+    cfg.set("train.plateau_patience", 0)
+    cfg.set("checkpoint.resume", False)
+    trainer = Trainer(BaselineCLSTask(cfg), cfg, tmp_path)
+    out = trainer.fit(Loader(), Loader(), epochs=4)
+    scales = [h.get("lr_scale") for h in out["history"]]
+    assert scales[0] == 1.0 or scales[1] < 1.0  # first epoch sets best
+    assert scales[-1] < 1.0
+    assert min(s for s in scales if s) >= 1e-3
