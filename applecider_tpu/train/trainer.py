@@ -82,10 +82,17 @@ class Trainer:
     # ------------------------------------------------------------- jit steps
     def _build_train_step(self):
         task, tx = self.task, self.tx
+        loss_fn = task.loss_fn
+        if bool(self.config.get_path("train.remat", default=False)):
+            # rematerialize the forward during backward: activations are
+            # recomputed instead of held in HBM (jax.checkpoint). For the
+            # reference-scale models this is optional headroom; for larger
+            # configs it's the standard TPU memory/FLOP trade.
+            loss_fn = jax.checkpoint(loss_fn, static_argnums=(3,))
 
         @jax.jit
         def train_step(params, opt_state, batch, rng):
-            (loss, aux), grads = jax.value_and_grad(task.loss_fn, has_aux=True)(
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, rng, True
             )
             updates, opt_state = tx.update(grads, opt_state, params)

@@ -187,3 +187,42 @@ def test_trainer_plateau_lowers_lr_scale(tmp_path):
     assert scales[0] == 1.0 or scales[1] < 1.0  # first epoch sets best
     assert scales[-1] < 1.0
     assert min(s for s in scales if s) >= 1e-3
+
+
+def test_remat_training_matches_exact(tmp_path):
+    """train.remat=true reproduces the exact loss trajectory (recompute,
+    not approximation)."""
+    import jax
+
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.models.baseline_cls import BaselineCLSTask
+    from applecider_tpu.train.trainer import Trainer
+
+    rng_np = np.random.default_rng(4)
+    photometry = rng_np.normal(size=(8, 16, 7)).astype(np.float32)
+    pad = np.zeros((8, 16), bool)
+    labels = rng_np.integers(0, 5, 8).astype(np.int64)
+
+    class Loader:
+        def __iter__(self):
+            yield {"data": {"photometry": photometry, "pad_mask": pad, "label": labels,
+                            "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}}
+
+        def set_epoch(self, epoch):
+            pass
+
+    def run(remat, workdir):
+        cfg = load_defaults()
+        cfg.set("model.BaselineCLS.d_model", 16)
+        cfg.set("model.BaselineCLS.n_heads", 2)
+        cfg.set("model.BaselineCLS.n_layers", 1)
+        cfg.set("model.BaselineCLS.dropout", 0.0)
+        cfg.set("train.compute_dtype", "float32")
+        cfg.set("train.remat", remat)
+        cfg.set("checkpoint.resume", False)
+        trainer = Trainer(BaselineCLSTask(cfg), cfg, workdir)
+        return [h["train_loss"] for h in trainer.fit(Loader(), epochs=3)["history"]]
+
+    np.testing.assert_allclose(
+        run(True, tmp_path / "remat"), run(False, tmp_path / "exact"), rtol=1e-6
+    )

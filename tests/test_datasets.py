@@ -171,3 +171,26 @@ def test_fusion_dataset(prepared):
     # per-alert mode yields more rows
     ds2 = FusionDataset(cfg, mode="per_alert")
     assert len(ds2) >= len(ds)
+
+
+def test_oversampler_skips_absent_classes():
+    """A class with zero samples but nonzero ideal mass is dropped and the
+    remaining distribution renormalized (the reference crashes here)."""
+    from applecider_tpu.datasets.oversampler import Oversampler, oversampling_targets
+
+    targets = oversampling_targets([0.3, 0.1, 0.1, 0.3, 0.2], [10, 0, 5, 7, 0])
+    assert targets[1] == 0 and targets[4] == 0
+    assert targets[0] >= 10 and targets[2] >= 5 and targets[3] >= 7
+
+    ov = Oversampler([0.3, 0.1, 0.1, 0.3, 0.2], [0, 0, 2, 3, 2, 0, 3], seed=1)
+    resolved = [ov.resolve(i)[0] for i in range(len(ov))]
+    assert len(ov) >= 7
+    assert set(resolved) <= set(range(7))
+
+
+def test_oversampler_all_absent_returns_identity():
+    from applecider_tpu.datasets.oversampler import oversampling_targets
+
+    np.testing.assert_array_equal(
+        oversampling_targets([0.0, 1.0], [5, 0]), [5, 0]
+    )
