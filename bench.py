@@ -125,11 +125,21 @@ def run_bench(device) -> dict:
             deterministic=True,
         )
 
-    sweep = (256, 512, 1024) if on_tpu else (64,)
+    # wall-clock guard: cold remote compiles can take minutes each; stop
+    # adding sweep points once the budget is spent (cache makes reruns fast)
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "1500"))
+    t_start = time.perf_counter()
+
+    def over_budget():
+        return time.perf_counter() - t_start > budget_s
+
+    sweep = (512, 1024, 256) if on_tpu else (64,)
     compile_s = 0.0
     model_best = (0.0, 0)  # (alerts/sec, batch)
     flops = None
     for bs in sweep:
+        if model_best[0] > 0 and over_budget():
+            break
         args = tuple(jax.device_put(a, device) for a in _fusion_batch(bs)[:5])
         t0 = time.perf_counter()
         lowered = forward.lower(params, *args)
@@ -154,6 +164,8 @@ def run_bench(device) -> dict:
     e2e_best = (0.0, 0)
     pack_rate = 0.0
     for bs in sweep:
+        if e2e_best[0] > 0 and over_budget():
+            break
         samples = make_stream_samples(bs, seed=1)
         t0 = time.perf_counter()
         raws = [pack_alert_batch(samples), pack_alert_batch(make_stream_samples(bs, seed=2))]
