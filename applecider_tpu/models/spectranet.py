@@ -177,7 +177,13 @@ class SpectraNetTask(Task):
             channels=tuple(mc["channels"]),
             depths=tuple(mc["depths"]),
             kernel_sizes_per_stage=tuple(tuple(k) for k in mc["kernel_sizes_per_stage"]),
-            num_classes=int(mc.get("class_order", 9)),
+            # reference configs give class_order as a list of class names;
+            # an int count is also accepted
+            num_classes=(
+                len(mc["class_order"])
+                if isinstance(mc.get("class_order"), (list, tuple))
+                else int(mc.get("class_order", 9))
+            ),
             head_dropout=float(mc.get("head_dropout", 0.5)),
             redshift=self.redshift,
             redshift_softplus=bool(mc.get("redshift_softplus", False)),
