@@ -14,12 +14,39 @@ torch NCL permute dance disappears.
 
 from __future__ import annotations
 
+import math
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-# kernels at least this wide route to the FFT path in "auto" mode
-FFT_KERNEL_THRESHOLD = 64
+# Back-compat alias: the old "auto" policy was a kernel-width threshold.
+# The current policy is a FLOP-cost model (see ``_fft_wins``); this value
+# is still used as a hard floor below which FFT is never considered.
+FFT_KERNEL_THRESHOLD = 16
+
+# How much slower one FFT-path FLOP is than one direct-conv (MXU) FLOP.
+# Calibrated against bench_kernels.py: ~6-9 on the CPU image; re-calibrate
+# per platform (env ACFFT_PENALTY) once TPU numbers land.
+FFT_COST_PENALTY = float(os.environ.get("ACFFT_PENALTY", "6.0"))
+
+
+def _fft_wins(L: int, K: int, cin: int, cout: int) -> bool:
+    """Cost-model route choice for 'auto' mode (static at trace time).
+
+    direct: 2*L*K*cin*cout MAC-FLOPs on the conv/matmul unit.
+    fft:    complex pointwise batched GEMM (8 flops per (f, cin, cout))
+            + rfft/irfft of activations ((cin + cout) transforms of n log n),
+    scaled by FFT_COST_PENALTY for the platform's FFT inefficiency.
+    """
+    if K < FFT_KERNEL_THRESHOLD:
+        return False
+    n = _next_fast_len(L + K - 1)
+    nf = n // 2 + 1
+    direct = 2.0 * L * K * cin * cout
+    fft = 8.0 * nf * cin * cout + 5.0 * n * math.log2(n) * (cin + cout)
+    return fft * FFT_COST_PENALTY < direct
 
 
 def conv1d_direct(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> jax.Array:
@@ -94,12 +121,12 @@ def conv1d(
 ) -> jax.Array:
     """Dispatch between direct and FFT paths.
 
-    mode: "auto" (FFT for K >= 64), "direct" (exact parity path), "fft".
-    ``fft_len``: shared FFT length for kernel banks over one input (see
-    ``conv1d_fft``).
+    mode: "auto" (FLOP-cost model, see ``_fft_wins``), "direct" (exact
+    parity path), "fft". ``fft_len``: shared FFT length for kernel banks
+    over one input (see ``conv1d_fft``).
     """
-    k = kernel.shape[0]
-    if mode == "fft" or (mode == "auto" and k >= FFT_KERNEL_THRESHOLD):
+    k, cin, cout = kernel.shape
+    if mode == "fft" or (mode == "auto" and _fft_wins(x.shape[1], k, cin, cout)):
         return conv1d_fft(x, kernel, bias, n=fft_len)
     return conv1d_direct(x, kernel, bias)
 
