@@ -236,13 +236,27 @@ class AlertStreamPipeline:
         return self._jitted(params, raw)
 
 
-def pack_alert_batch(samples: list[dict], max_photo: int = 257, max_spec: int = 512) -> dict:
+def pack_alert_batch(
+    samples: list[dict], max_photo: int = 257, max_spec: int = 512,
+    length_buckets: Optional[tuple[int, ...]] = None,
+) -> dict:
     """Host-side packing of ragged raw per-alert dicts into fixed shapes.
 
     Each sample dict: photometry arrays (t/flux/err/band), image (63,63,3),
     meta19 (19,), optional spectrum (wl, flux).
+
+    ``length_buckets``: optional ascending photometry-length buckets (e.g.
+    ``(64, 128, 257)``). The batch packs to the smallest bucket covering its
+    longest light curve — jit caches one pipeline per bucket, and short
+    batches skip most of the transformer's L^2 work. Results are identical
+    to ``max_photo`` packing (padding is masked).
     """
     B = len(samples)
+    if length_buckets:
+        need = min(max(len(s["photo_t"]) for s in samples), max_photo)
+        max_photo = next(
+            (b for b in sorted(length_buckets) if b >= need), max_photo
+        )
     out = {
         "photo_t": np.zeros((B, max_photo), np.float32),
         "photo_flux": np.zeros((B, max_photo), np.float32),

@@ -28,6 +28,9 @@ import traceback
 import numpy as np
 
 BASELINE_ALERTS_PER_SEC = 10_000.0
+# photometry-length buckets: jit caches one pipeline per bucket; results
+# are identical to 257-padding (masked), see test_stream.py
+BUCKETS = (64, 128, 192, 257)
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 # bf16 peak TFLOP/s per chip, by TPU generation (public spec sheets)
@@ -168,7 +171,8 @@ def run_bench(device) -> dict:
             break
         samples = make_stream_samples(bs, seed=1)
         t0 = time.perf_counter()
-        raws = [pack_alert_batch(samples), pack_alert_batch(make_stream_samples(bs, seed=2))]
+        raws = [pack_alert_batch(samples, length_buckets=BUCKETS),
+                pack_alert_batch(make_stream_samples(bs, seed=2), length_buckets=BUCKETS)]
         pack_rate = 2 * bs / (time.perf_counter() - t0)
         _block(pipe(params, raws[0]))  # compile + warm
         iters = 20 if on_tpu else 3
@@ -185,11 +189,13 @@ def run_bench(device) -> dict:
 
     # ---- honest p50 per-alert latency: pack ONE alert + pipeline + block
     single_samples = make_stream_samples(40, seed=3)
-    _block(pipe(params, pack_alert_batch(single_samples[:1])))  # compile bs=1
+    for b in BUCKETS[:-1] if on_tpu else BUCKETS[:2]:
+        # pre-compile every bucket a single alert can land in
+        _block(pipe(params, pack_alert_batch(single_samples[:1], max_photo=b)))
     lat = []
     for s in single_samples:
         t1 = time.perf_counter()
-        _block(pipe(params, pack_alert_batch([s])))
+        _block(pipe(params, pack_alert_batch([s], length_buckets=BUCKETS)))
         lat.append(time.perf_counter() - t1)
     p50_ms = float(np.median(lat) * 1e3)
 

@@ -136,3 +136,29 @@ def test_pipeline_end_to_end(rng):
     probs = np.asarray(pipeline(variables["params"], raw))
     assert probs.shape == (4, 5)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_bucketed_packing_matches_full_length():
+    """length_buckets packing yields the same probabilities as max_photo
+    packing — padding is fully masked through merge/featurize/attention."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _fusion_batch, _fusion_task
+    from bench import make_stream_samples
+
+    from applecider_tpu.infer.stream import AlertStreamPipeline, pack_alert_batch
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    params = task.init(jax.random.PRNGKey(0), _fusion_batch(4, tiny=True))["params"]
+    grid = np.linspace(4500.0, 7980.0, 128).astype(np.float32)
+    pipe = AlertStreamPipeline(task, wave_grid=grid)
+
+    samples = make_stream_samples(4, seed=9)  # lengths 20..180
+    full = pack_alert_batch(samples, max_photo=257)
+    bucketed = pack_alert_batch(samples, max_photo=257, length_buckets=(64, 192, 257))
+    assert bucketed["photo_t"].shape[1] == 192  # longest curve <= 180
+    p_full = np.asarray(pipe(params, full))
+    p_bucket = np.asarray(pipe(params, bucketed))
+    np.testing.assert_allclose(p_bucket, p_full, rtol=2e-5, atol=2e-6)
