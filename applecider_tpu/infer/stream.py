@@ -10,8 +10,8 @@ fixed-shape batches:
   ``lax.scan`` group-start flagging + ``segment_sum`` weighted collapse
   (numerically identical to the reference's numba loop, batched over
   (sample, band) on device);
-* event featurization: dt/dt_prev/logflux/one-hot + nearest-in-time color
-  pairs (masked pairwise distance argmin, L<=257 so L^2 is trivial) + the
+* event featurization: dt/dt_prev/logflux/one-hot (the model's (P, 7)
+  layout — colors live in the training-corpus event_data, not here) + the
   causal context block at the alert cut;
 * spectra: linear interpolation with extrapolation onto the 3481-bin grid
   + (x-mean)/MAD normalization (sort-based median on device);
@@ -229,9 +229,9 @@ class AlertStreamPipeline:
             from applecider_tpu.parallel.mesh import replicate, shard_batch
 
             raw = shard_batch(raw, self.mesh)
-            if self._placed_params is None or self._placed_src is not id(params):
+            if self._placed_src is not params:  # cache keyed on object identity
                 self._placed_params = replicate(params, self.mesh)
-                self._placed_src = id(params)
+                self._placed_src = params
             params = self._placed_params
         return self._jitted(params, raw)
 
@@ -254,9 +254,8 @@ def pack_alert_batch(
     B = len(samples)
     if length_buckets:
         need = min(max(len(s["photo_t"]) for s in samples), max_photo)
-        max_photo = next(
-            (b for b in sorted(length_buckets) if b >= need), max_photo
-        )
+        usable = [b for b in sorted(length_buckets) if b <= max_photo]
+        max_photo = next((b for b in usable if b >= need), max_photo)
     out = {
         "photo_t": np.zeros((B, max_photo), np.float32),
         "photo_flux": np.zeros((B, max_photo), np.float32),

@@ -354,14 +354,27 @@ class SpectraNetTriPoolTask(Task):
             conv_mode=str(mc.get("conv_mode", "auto")),
             dtype=self.compute_dtype(),
         )
+        # BatchNorm stages read frozen running stats (batch_stats). They are
+        # constants, not trainable state: captured here, refreshed by init()
+        # or set from an imported reference checkpoint.
+        self.batch_stats = None
+
+    def _variables(self, params):
+        if self.batch_stats:
+            return {"params": params, "batch_stats": self.batch_stats}
+        return {"params": params}
 
     def init(self, rng, batch):
-        return self.module.init({"params": rng}, jnp.asarray(batch[0]), deterministic=True)
+        variables = self.module.init(
+            {"params": rng}, jnp.asarray(batch[0]), deterministic=True
+        )
+        self.batch_stats = variables.get("batch_stats")
+        return variables
 
     def loss_fn(self, params, batch, rng, train: bool):
         flux, labels = batch[0], batch[1]
         logits = self.module.apply(
-            {"params": params}, flux,
+            self._variables(params), flux,
             deterministic=not train, rngs={"dropout": rng} if train else {},
         )
         gamma = float(self.mc.get("focal_gamma", 2.0))
@@ -370,7 +383,7 @@ class SpectraNetTriPoolTask(Task):
 
     def predict(self, params, batch):
         flux = batch[0] if isinstance(batch, (tuple, list)) else batch
-        out = self.module.apply({"params": params}, flux, deterministic=True)
+        out = self.module.apply(self._variables(params), flux, deterministic=True)
         return maybe_softmax(out, bool(self.mc.get("use_probabilities", False)))
 
     def make_optimizer(self):

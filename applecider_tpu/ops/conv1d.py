@@ -27,9 +27,15 @@ from jax import lax
 FFT_KERNEL_THRESHOLD = 16
 
 # How much slower one FFT-path FLOP is than one direct-conv (MXU) FLOP.
-# Calibrated against bench_kernels.py: ~6-9 on the CPU image; re-calibrate
-# per platform (env ACFFT_PENALTY) once TPU numbers land.
-FFT_COST_PENALTY = float(os.environ.get("ACFFT_PENALTY", "6.0"))
+# The (3, 1, 4) constants below reproduce the measured direct-vs-FFT
+# winner at all 14 benchmarked SpectraNet shapes on the CPU image
+# (bench_kernels.py; mean |log pred/meas| = 0.43). Re-calibrate the
+# penalty per platform via env ACFFT_PENALTY once TPU numbers land.
+FFT_COST_PENALTY = float(os.environ.get("ACFFT_PENALTY", "4.0"))
+_FFT_ACT_C = 3.0  # per-point n*log2(n) cost of activation rfft/irfft
+_FFT_KER_C = 1.0  # same for the kernel rfft (cin*cout transforms — it is
+#                   a traced input, so its FFT re-runs every call and MUST
+#                   be part of the cost model)
 
 
 def _fft_wins(L: int, K: int, cin: int, cout: int) -> bool:
@@ -37,15 +43,21 @@ def _fft_wins(L: int, K: int, cin: int, cout: int) -> bool:
 
     direct: 2*L*K*cin*cout MAC-FLOPs on the conv/matmul unit.
     fft:    complex pointwise batched GEMM (8 flops per (f, cin, cout))
-            + rfft/irfft of activations ((cin + cout) transforms of n log n),
+            + rfft/irfft of activations ((cin + cout) transforms)
+            + rfft of the kernel (cin*cout transforms, every call),
     scaled by FFT_COST_PENALTY for the platform's FFT inefficiency.
     """
     if K < FFT_KERNEL_THRESHOLD:
         return False
     n = _next_fast_len(L + K - 1)
     nf = n // 2 + 1
+    nlg = n * math.log2(n)
     direct = 2.0 * L * K * cin * cout
-    fft = 8.0 * nf * cin * cout + 5.0 * n * math.log2(n) * (cin + cout)
+    fft = (
+        8.0 * nf * cin * cout
+        + _FFT_ACT_C * nlg * (cin + cout)
+        + _FFT_KER_C * nlg * cin * cout
+    )
     return fft * FFT_COST_PENALTY < direct
 
 

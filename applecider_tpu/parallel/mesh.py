@@ -31,6 +31,14 @@ def make_mesh(devices=None, shape=(-1, 1), axes=("data", "model")) -> Mesh:
     needed = int(np.prod(shape))
     if needed > n:
         raise ValueError(f"mesh shape {tuple(shape)} needs {needed} devices, have {n}")
+    if needed < n:
+        import warnings
+
+        warnings.warn(
+            f"mesh shape {tuple(shape)} uses {needed} of {n} available devices; "
+            "use -1 in the shape to absorb the rest",
+            stacklevel=2,
+        )
     grid = np.asarray(devices[:needed]).reshape(shape)
     return Mesh(grid, axes)
 

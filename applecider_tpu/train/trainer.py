@@ -139,6 +139,13 @@ class Trainer:
             "step": np.asarray(state.step),
             "epoch": np.asarray(epoch),
         }
+        if self.plateau is not None:
+            # host-side scheduler state must survive resume, or the reduced
+            # LR scale snaps back to 1.0 on the first post-resume epoch
+            payload["plateau"] = np.asarray(
+                [self.plateau.best, self.plateau.bad_epochs, self.plateau.scale],
+                dtype=np.float64,
+            )
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
@@ -155,7 +162,21 @@ class Trainer:
             "step": np.asarray(init_state.step),
             "epoch": np.asarray(0),
         }
-        restored = ckptr.restore(path, target)
+        if self.plateau is not None:
+            target["plateau"] = np.zeros(3, np.float64)
+        try:
+            restored = ckptr.restore(path, target)
+        except Exception:
+            if "plateau" not in target:
+                raise
+            # checkpoint predates plateau tracking; restore without it
+            target.pop("plateau")
+            restored = ckptr.restore(path, target)
+        if self.plateau is not None and "plateau" in restored:
+            best, bad, scale = (float(v) for v in restored["plateau"])
+            self.plateau.best = best
+            self.plateau.bad_epochs = int(bad)
+            self.plateau.scale = scale
         state = TrainState(restored["params"], restored["opt_state"], int(restored["step"]))
         return state, int(restored["epoch"]) + 1
 

@@ -58,7 +58,11 @@ def convert(sd: dict, model: str, config) -> tuple[dict, dict]:
     if model == "SpectraNetTriPool":
         mc = dict(config["model"].get("SpectraNetTriPool", {}))
         depths = list(mc.get("depths", [1] * 5))
-        use_ln = list(mc.get("use_ln_stages", [False] * 4 + [True]))
+        # derive the norm layout from the checkpoint itself: BN stages carry
+        # running_mean keys (config defaults could silently disagree)
+        use_ln = [
+            f"stage{s + 1}.0.norm.running_mean" not in sd for s in range(len(depths))
+        ]
         params, stats = torch_port.spectranet_tripool_params(sd, depths, use_ln)
         return params, ({"batch_stats": stats} if stats else {})
     if model == "AstroMiNN":
@@ -115,6 +119,15 @@ def main(argv=None) -> Path:
             b = sorted(f"{p}: {s}" for p, s in _flat(got))
             diff = "\n".join(difflib.unified_diff(a, b, "expected", "imported", lineterm=""))
             raise SystemExit(f"shape mismatch between config and checkpoint:\n{diff}")
+
+    if "batch_stats" in extras:
+        stages = sorted(extras["batch_stats"])
+        print(
+            "NOTE: checkpoint carries BatchNorm running stats for "
+            f"{stages}. To run it: set model.SpectraNetTriPool.use_ln_stages "
+            "to match the reference layout (false for BN stages) and assign "
+            "task.batch_stats from the restored checkpoint's 'batch_stats'."
+        )
 
     import orbax.checkpoint as ocp
 

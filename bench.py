@@ -189,8 +189,12 @@ def run_bench(device) -> dict:
 
     # ---- honest p50 per-alert latency: pack ONE alert + pipeline + block
     single_samples = make_stream_samples(40, seed=3)
-    for b in BUCKETS[:-1] if on_tpu else BUCKETS[:2]:
-        # pre-compile every bucket a single alert can land in
+    # pre-compile exactly the buckets these single alerts will land in
+    landing = sorted({
+        pack_alert_batch([s], length_buckets=BUCKETS)["photo_t"].shape[1]
+        for s in single_samples
+    })
+    for b in landing:
         _block(pipe(params, pack_alert_batch(single_samples[:1], max_photo=b)))
     lat = []
     for s in single_samples:
@@ -265,22 +269,26 @@ def main():
                 env.pop(k)
         env["JAX_PLATFORMS"] = "cpu"
         env["_APPLECIDER_BENCH_CPU_CHILD"] = "1"
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")], env=env, cwd=REPO,
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = next(
-            (ln for ln in proc.stdout.splitlines() if ln.startswith("{")), None
-        )
-        if line:
-            payload = json.loads(line)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")], env=env, cwd=REPO,
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = next(
+                (ln for ln in proc.stdout.splitlines() if ln.startswith("{")), None
+            )
+            payload = json.loads(line) if line else None
+            child_err = f"CPU fallback produced no JSON (rc={proc.returncode})"
+        except Exception as e:  # noqa: BLE001 — the JSON line must always appear
+            payload, child_err = None, f"CPU fallback failed: {type(e).__name__}: {e}"
+        if payload is not None:
             payload["warning"] = f"{err}; CPU-fallback measurement"
             _emit(payload)
         else:
             _emit({
                 "metric": "alerts/sec/chip, e2e preprocess + 4-modality fusion inference",
                 "value": 0.0, "unit": "alerts/sec/chip", "vs_baseline": 0.0,
-                "error": f"{err}; CPU fallback also failed rc={proc.returncode}",
+                "error": f"{err}; {child_err}",
             })
         os._exit(0)
     if devices is None:

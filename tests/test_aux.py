@@ -226,3 +226,48 @@ def test_remat_training_matches_exact(tmp_path):
     np.testing.assert_allclose(
         run(True, tmp_path / "remat"), run(False, tmp_path / "exact"), rtol=1e-6
     )
+
+
+def test_plateau_state_survives_resume(tmp_path):
+    """Resuming from a checkpoint keeps the reduced LR scale (it must not
+    snap back to 1.0 on the first post-resume epoch)."""
+    import jax
+
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.models.baseline_cls import BaselineCLSTask
+    from applecider_tpu.train.trainer import Trainer
+
+    rng_np = np.random.default_rng(1)
+    photometry = rng_np.normal(size=(8, 16, 7)).astype(np.float32)
+    pad = np.zeros((8, 16), bool)
+    labels = rng_np.integers(0, 5, 8).astype(np.int64)
+
+    class Loader:
+        def __iter__(self):
+            yield {"data": {"photometry": photometry, "pad_mask": pad, "label": labels,
+                            "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}}
+
+        def set_epoch(self, epoch):
+            pass
+
+    def cfg_():
+        cfg = load_defaults()
+        cfg.set("model.BaselineCLS.d_model", 16)
+        cfg.set("model.BaselineCLS.n_heads", 2)
+        cfg.set("model.BaselineCLS.n_layers", 1)
+        cfg.set("model.BaselineCLS.dropout", 0.0)
+        cfg.set("model.BaselineCLS.lr", 0.0)
+        cfg.set("train.compute_dtype", "float32")
+        cfg.set("train.plateau_factor", 0.5)
+        cfg.set("train.plateau_patience", 0)
+        return cfg
+
+    t1 = Trainer(BaselineCLSTask(cfg_()), cfg_(), tmp_path)
+    out1 = t1.fit(Loader(), Loader(), epochs=3)
+    assert t1.plateau.scale < 1.0
+
+    t2 = Trainer(BaselineCLSTask(cfg_()), cfg_(), tmp_path)  # resume=default true
+    out2 = t2.fit(Loader(), Loader(), epochs=4)
+    scales = [h.get("lr_scale") for h in out2["history"]]
+    # first post-resume epoch continues from the reduced scale
+    assert scales[0] is not None and scales[0] <= t1.plateau.scale

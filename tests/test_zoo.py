@@ -102,17 +102,22 @@ def test_informer_flatten_head_masks_padding(rng):
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask))["params"]
     out1 = m.apply({"params": params}, jnp.asarray(x), jnp.asarray(mask))
     assert out1.shape == (2, 5)
-    x2 = x.copy()
-    x2[:, 15:] += 100.0  # perturb ONLY padded positions
-    out2 = m.apply({"params": params}, jnp.asarray(x2), jnp.asarray(mask))
     # ProbSparse attention is global, so padded keys do participate upstream
     # (exactly as in the reference, which passes attn_mask=None); the head
-    # itself must still zero the padded embeddings before flattening.
+    # itself must zero the padded embeddings before flattening.
     h1 = m.copy(classification=False).apply({"params": {k: v for k, v in params.items() if k != "fc"}},
                                             jnp.asarray(x), jnp.asarray(mask))
     assert h1.shape == (2, 24 * 16)
     padded_cols = np.asarray(h1).reshape(2, 24, 16)[:, 15:]
     assert np.abs(padded_cols).max() == 0.0
+    # and therefore the padded columns contribute nothing to the logits:
+    # zeroing the fc weights over padded positions changes nothing
+    fc_w = np.asarray(params["fc"]["kernel"]).reshape(24, 16, 5).copy()
+    fc_w[15:] = 0.0
+    params2 = dict(params)
+    params2["fc"] = {"kernel": fc_w.reshape(24 * 16, 5), "bias": params["fc"]["bias"]}
+    out2 = m.apply({"params": params2}, jnp.asarray(x), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=1e-6)
 
 
 def test_spectra_vit(rng):
