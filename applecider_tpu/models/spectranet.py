@@ -38,18 +38,18 @@ from applecider_tpu.ops.losses import focal_loss
 from applecider_tpu.registry import register_model
 
 
-def _takes_fft_path(L: int, k: int, cin: int, cout: int, mode: str) -> bool:
+def _takes_fft_path(B: int, L: int, k: int, cin: int, cout: int, mode: str) -> bool:
     from applecider_tpu.ops.conv1d import _fft_wins
 
-    return mode == "fft" or (mode == "auto" and _fft_wins(L, k, cin, cout))
+    return mode == "fft" or (mode == "auto" and _fft_wins(L, k, cin, cout, batch=B))
 
 
-def _bank_fft_len(L: int, cin: int, cout: int, kernel_sizes, mode: str) -> Optional[int]:
+def _bank_fft_len(B: int, L: int, cin: int, cout: int, kernel_sizes, mode: str) -> Optional[int]:
     """Shared 5-smooth FFT length for the bank's FFT-path kernels, so their
     input rfft CSEs into one transform per stage."""
     from applecider_tpu.ops.conv1d import _next_fast_len
 
-    ks = [k for k in kernel_sizes if _takes_fft_path(L, k, cin, cout, mode)]
+    ks = [k for k in kernel_sizes if _takes_fft_path(B, L, k, cin, cout, mode)]
     if not ks:
         return None
     return _next_fast_len(L + max(ks) - 1)
@@ -93,11 +93,11 @@ class SpectraBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        L, cin, cout = x.shape[1], x.shape[-1], self.out_channels
-        fft_len = _bank_fft_len(L, cin, cout, self.kernel_sizes, self.conv_mode)
+        B, L, cin, cout = x.shape[0], x.shape[1], x.shape[-1], self.out_channels
+        fft_len = _bank_fft_len(B, L, cin, cout, self.kernel_sizes, self.conv_mode)
         feats = [
             Conv1dTorch(self.out_channels, k, conv_mode=self.conv_mode,
-                        fft_len=fft_len if _takes_fft_path(L, k, cin, cout, self.conv_mode) else None,
+                        fft_len=fft_len if _takes_fft_path(B, L, k, cin, cout, self.conv_mode) else None,
                         name=f"conv_{i}")(x)
             for i, k in enumerate(self.kernel_sizes)
         ]
@@ -259,11 +259,11 @@ class SpectraBlockTriPool(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         k = len(self.kernel_sizes)
         residual = Conv1dTorch(self.out_channels * k, 1, conv_mode="direct", name="proj")(x)
-        L, cin, cout = x.shape[1], x.shape[-1], self.out_channels
-        fft_len = _bank_fft_len(L, cin, cout, self.kernel_sizes, self.conv_mode)
+        B, L, cin, cout = x.shape[0], x.shape[1], x.shape[-1], self.out_channels
+        fft_len = _bank_fft_len(B, L, cin, cout, self.kernel_sizes, self.conv_mode)
         feats = [
             Conv1dTorch(self.out_channels, ks, conv_mode=self.conv_mode,
-                        fft_len=fft_len if _takes_fft_path(L, ks, cin, cout, self.conv_mode) else None,
+                        fft_len=fft_len if _takes_fft_path(B, L, ks, cin, cout, self.conv_mode) else None,
                         name=f"conv_{i}")(x)
             for i, ks in enumerate(self.kernel_sizes)
         ]

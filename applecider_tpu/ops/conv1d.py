@@ -27,24 +27,28 @@ from jax import lax
 FFT_KERNEL_THRESHOLD = 16
 
 # How much slower one FFT-path FLOP is than one direct-conv (MXU) FLOP.
-# The (3, 1, 4) constants below reproduce the measured direct-vs-FFT
-# winner at all 14 benchmarked SpectraNet shapes on the CPU image
-# (bench_kernels.py; mean |log pred/meas| = 0.43). Re-calibrate the
-# penalty per platform via env ACFFT_PENALTY once TPU numbers land.
-FFT_COST_PENALTY = float(os.environ.get("ACFFT_PENALTY", "4.0"))
-_FFT_ACT_C = 3.0  # per-point n*log2(n) cost of activation rfft/irfft
-_FFT_KER_C = 1.0  # same for the kernel rfft (cin*cout transforms — it is
-#                   a traced input, so its FFT re-runs every call and MUST
-#                   be part of the cost model)
+# The (3, 32, 6) constants below reproduce the measured direct-vs-FFT
+# winner at all 18 benchmarked (shape, batch) points on the CPU image
+# (bench_kernels.py + mid-K/batch sweeps; mean |log pred/meas| = 0.41).
+# Re-calibrate the penalty per platform via env ACFFT_PENALTY once TPU
+# numbers land.
+FFT_COST_PENALTY = float(os.environ.get("ACFFT_PENALTY", "6.0"))
+_FFT_ACT_C = 3.0   # per-point n*log2(n) cost of activation rfft/irfft
+_FFT_KER_C = 32.0  # same for the kernel rfft (cin*cout transforms). The
+#                    kernel is a traced input, so its FFT re-runs every
+#                    CALL — per-sample cost divides by the batch size,
+#                    which is why routing is batch-aware.
 
 
-def _fft_wins(L: int, K: int, cin: int, cout: int) -> bool:
+def _fft_wins(L: int, K: int, cin: int, cout: int, batch: int = 64) -> bool:
     """Cost-model route choice for 'auto' mode (static at trace time).
 
+    Per-sample costs:
     direct: 2*L*K*cin*cout MAC-FLOPs on the conv/matmul unit.
     fft:    complex pointwise batched GEMM (8 flops per (f, cin, cout))
             + rfft/irfft of activations ((cin + cout) transforms)
-            + rfft of the kernel (cin*cout transforms, every call),
+            + rfft of the kernel (cin*cout transforms, amortized over the
+              batch),
     scaled by FFT_COST_PENALTY for the platform's FFT inefficiency.
     """
     if K < FFT_KERNEL_THRESHOLD:
@@ -56,7 +60,7 @@ def _fft_wins(L: int, K: int, cin: int, cout: int) -> bool:
     fft = (
         8.0 * nf * cin * cout
         + _FFT_ACT_C * nlg * (cin + cout)
-        + _FFT_KER_C * nlg * cin * cout
+        + _FFT_KER_C * nlg * cin * cout / max(batch, 1)
     )
     return fft * FFT_COST_PENALTY < direct
 
@@ -138,7 +142,9 @@ def conv1d(
     over one input (see ``conv1d_fft``).
     """
     k, cin, cout = kernel.shape
-    if mode == "fft" or (mode == "auto" and _fft_wins(x.shape[1], k, cin, cout)):
+    if mode == "fft" or (
+        mode == "auto" and _fft_wins(x.shape[1], k, cin, cout, batch=x.shape[0])
+    ):
         return conv1d_fft(x, kernel, bias, n=fft_len)
     return conv1d_direct(x, kernel, bias)
 
