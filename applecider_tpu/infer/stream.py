@@ -178,10 +178,19 @@ class AlertStreamPipeline:
     """
 
     def __init__(self, task, stats_mean=None, stats_std=None, dt_hours: float = 12.0,
-                 wave_grid: Optional[np.ndarray] = None, mesh=None):
+                 wave_grid: Optional[np.ndarray] = None, mesh=None,
+                 freeze_params_with=None):
         """``mesh``: optional ``jax.sharding.Mesh`` — the raw batch shards
         dim-0 over the ``data`` axis (params replicated), so one pipeline
-        call fans out over every chip of a pod slice."""
+        call fans out over every chip of a pod slice.
+
+        ``freeze_params_with``: optional params pytree baked into the
+        compiled executable as constants. XLA then constant-folds every
+        param-only subgraph — in particular the conv kernels' FFTs, which
+        otherwise re-run per call — and the conv auto-router assumes free
+        kernel transforms (FFT wins even at batch 1). Best for low-latency
+        serving; pass ``params=None`` at call time. Recompiles on new
+        weights."""
         self.task = task
         self.mean = jnp.asarray(
             stats_mean if stats_mean is not None else np.zeros(4, np.float32)
@@ -196,9 +205,20 @@ class AlertStreamPipeline:
         self.mesh = mesh
         self._placed_params = None
         self._placed_src = None
-        self._jitted = jax.jit(self._forward)
+        self._frozen = freeze_params_with is not None
+        if self._frozen:
+            frozen = jax.tree.map(jnp.asarray, freeze_params_with)
+            self._jitted = jax.jit(lambda raw: self._forward(frozen, raw))
+        else:
+            self._jitted = jax.jit(self._forward)
 
     def _forward(self, params, raw):
+        from applecider_tpu.ops.conv1d import frozen_kernel_hint
+
+        with frozen_kernel_hint(self._frozen):
+            return self._forward_body(params, raw)
+
+    def _forward_body(self, params, raw):
         merge = jax.vmap(partial(merge_light_curve, dt_days=self.dt_days))
         t_m, f_m, e_m, band_m, valid_m = merge(
             raw["photo_t"], raw["photo_flux"], raw["photo_err"],
@@ -224,7 +244,11 @@ class AlertStreamPipeline:
         )
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    def __call__(self, params, raw):
+    def __call__(self, params, raw=None):
+        if raw is None:  # frozen-params convenience: __call__(raw)
+            params, raw = None, params
+        if self._frozen:
+            return self._jitted(raw)
         if self.mesh is not None:
             from applecider_tpu.parallel.mesh import replicate, shard_batch
 

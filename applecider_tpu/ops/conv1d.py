@@ -40,6 +40,24 @@ _FFT_KER_C = 32.0  # same for the kernel rfft (cin*cout transforms). The
 #                    which is why routing is batch-aware.
 
 
+import contextlib
+
+# trace-time hint: kernels are compile-time constants (params baked into
+# the executable), so their FFTs constant-fold and cost nothing per call
+_FROZEN_KERNELS = False
+
+
+@contextlib.contextmanager
+def frozen_kernel_hint(active: bool = True):
+    global _FROZEN_KERNELS
+    prev = _FROZEN_KERNELS
+    _FROZEN_KERNELS = bool(active)
+    try:
+        yield
+    finally:
+        _FROZEN_KERNELS = prev
+
+
 def _fft_wins(L: int, K: int, cin: int, cout: int, batch: int = 64) -> bool:
     """Cost-model route choice for 'auto' mode (static at trace time).
 
@@ -57,11 +75,11 @@ def _fft_wins(L: int, K: int, cin: int, cout: int, batch: int = 64) -> bool:
     nf = n // 2 + 1
     nlg = n * math.log2(n)
     direct = 2.0 * L * K * cin * cout
-    fft = (
-        8.0 * nf * cin * cout
-        + _FFT_ACT_C * nlg * (cin + cout)
-        + _FFT_KER_C * nlg * cin * cout / max(batch, 1)
+    kernel_term = (
+        0.0 if _FROZEN_KERNELS
+        else _FFT_KER_C * nlg * cin * cout / max(batch, 1)
     )
+    fft = 8.0 * nf * cin * cout + _FFT_ACT_C * nlg * (cin + cout) + kernel_term
     return fft * FFT_COST_PENALTY < direct
 
 

@@ -163,7 +163,9 @@ def run_bench(device) -> dict:
             model_best = (rate, bs)
 
     # ---- end-to-end: host packing + H2D + device preprocess + fusion forward
-    pipe = AlertStreamPipeline(task)
+    # serving scenario: weights are fixed -> bake them into the executable
+    # (XLA constant-folds the conv-kernel FFTs; see infer/stream.py)
+    pipe = AlertStreamPipeline(task, freeze_params_with=params)
     e2e_best = (0.0, 0)
     pack_rate = 0.0
     for bs in sweep:
@@ -174,13 +176,13 @@ def run_bench(device) -> dict:
         raws = [pack_alert_batch(samples, length_buckets=BUCKETS),
                 pack_alert_batch(make_stream_samples(bs, seed=2), length_buckets=BUCKETS)]
         pack_rate = 2 * bs / (time.perf_counter() - t0)
-        _block(pipe(params, raws[0]))  # compile + warm
+        _block(pipe(raws[0]))  # compile + warm
         iters = 20 if on_tpu else 3
         # rotate two distinct host batches: every dispatch pays real H2D
         t0 = time.perf_counter()
         out = None
         for i in range(iters):
-            out = pipe(params, raws[i % 2])
+            out = pipe(raws[i % 2])
         _block(out)
         dt = time.perf_counter() - t0
         rate = bs * iters / dt
@@ -195,11 +197,11 @@ def run_bench(device) -> dict:
         for s in single_samples
     })
     for b in landing:
-        _block(pipe(params, pack_alert_batch(single_samples[:1], max_photo=b)))
+        _block(pipe(pack_alert_batch(single_samples[:1], max_photo=b)))
     lat = []
     for s in single_samples:
         t1 = time.perf_counter()
-        _block(pipe(params, pack_alert_batch([s], length_buckets=BUCKETS)))
+        _block(pipe(pack_alert_batch([s], length_buckets=BUCKETS)))
         lat.append(time.perf_counter() - t1)
     p50_ms = float(np.median(lat) * 1e3)
 

@@ -162,3 +162,34 @@ def test_bucketed_packing_matches_full_length():
     p_full = np.asarray(pipe(params, full))
     p_bucket = np.asarray(pipe(params, bucketed))
     np.testing.assert_allclose(p_bucket, p_full, rtol=2e-5, atol=2e-6)
+
+
+def test_frozen_params_pipeline_matches_and_routes_fft():
+    """freeze_params_with bakes weights into the executable: outputs match
+    the arg-passing pipeline, and the conv router treats kernel FFTs as
+    free (FFT viable at batch 1)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _fusion_batch, _fusion_task
+    from bench import make_stream_samples
+
+    from applecider_tpu.infer.stream import AlertStreamPipeline, pack_alert_batch
+    from applecider_tpu.ops.conv1d import _fft_wins, frozen_kernel_hint
+
+    # routing hint: at batch 1 the kernel-FFT cost normally kills FFT...
+    assert not _fft_wins(3481, 1021, 1, 64, batch=1)
+    with frozen_kernel_hint(True):  # ...but frozen kernels make it free
+        assert _fft_wins(3481, 1021, 1, 64, batch=1)
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    params = task.init(jax.random.PRNGKey(0), _fusion_batch(2, tiny=True))["params"]
+    grid = np.linspace(4500.0, 7980.0, 128).astype(np.float32)
+    raw = pack_alert_batch(make_stream_samples(2, seed=4), max_photo=32, max_spec=64)
+
+    plain = AlertStreamPipeline(task, wave_grid=grid)
+    frozen = AlertStreamPipeline(task, wave_grid=grid, freeze_params_with=params)
+    np.testing.assert_allclose(
+        np.asarray(frozen(raw)), np.asarray(plain(params, raw)), rtol=2e-5, atol=2e-6
+    )
