@@ -93,13 +93,30 @@ class AppleCiderTask(Task):
             attn_impl=str(pc.get("attention_impl", "xla")),
             name="photometry_encoder",
         )
-        sc = config["model"]["SpectraNet"]
-        spectra = SpectraNetModule(
-            channels=tuple(sc["channels"]), depths=tuple(sc["depths"]),
-            kernel_sizes_per_stage=tuple(tuple(k) for k in sc["kernel_sizes_per_stage"]),
-            embedding=True, conv_mode=str(sc.get("conv_mode", "auto")),
-            dtype=dtype, name="spectra_encoder",
-        )
+        # spectra encoder: the active-code SpectraNet embedding (default) or
+        # the brew_cider tri-pool variant the paper's fusion model used
+        # (model.AppleCider.spectra_encoder = "tripool")
+        if str(fc.get("spectra_encoder", "standard")) == "tripool":
+            from applecider_tpu.models.spectranet import SpectraNetTriPoolModule
+
+            tc = dict(config["model"].get("SpectraNetTriPool", {}))
+            n_stages = len(tc.get("channels", (16, 32, 64, 128, 256)))
+            spectra = SpectraNetTriPoolModule(
+                channels=tuple(tc.get("channels", (16, 32, 64, 128, 256))),
+                depths=tuple(tc.get("depths", (1,) * n_stages)),
+                use_ln_stages=tuple(tc.get("use_ln_stages", (True,) * n_stages)),
+                classification=False,
+                conv_mode=str(tc.get("conv_mode", "auto")),
+                dtype=dtype, name="spectra_encoder",
+            )
+        else:
+            sc = config["model"]["SpectraNet"]
+            spectra = SpectraNetModule(
+                channels=tuple(sc["channels"]), depths=tuple(sc["depths"]),
+                kernel_sizes_per_stage=tuple(tuple(k) for k in sc["kernel_sizes_per_stage"]),
+                embedding=True, conv_mode=str(sc.get("conv_mode", "auto")),
+                dtype=dtype, name="spectra_encoder",
+            )
         ac = config["model"]["AstroMiNN"]
         img_meta = AstroMiNNModule(
             num_experts=int(ac["num_mlp_experts"]),
@@ -120,19 +137,30 @@ class AppleCiderTask(Task):
             fusion=str(fc.get("fusion", "avg")),
             num_classes=int(fc.get("num_classes", 5)),
         )
+        # frozen BatchNorm running stats when the tri-pool spectra encoder
+        # uses reference BN stages (constants; refreshed by init() or set
+        # from an imported checkpoint)
+        self.batch_stats = None
+
+    def _variables(self, params):
+        if self.batch_stats:
+            return {"params": params, "batch_stats": self.batch_stats}
+        return {"params": params}
 
     def init(self, rng, batch):
         photometry, photo_mask, metadata, images, spectra = batch[:5]
-        return self.module.init(
+        variables = self.module.init(
             {"params": rng},
             jnp.asarray(photometry), jnp.asarray(photo_mask), jnp.asarray(metadata),
             jnp.asarray(images), jnp.asarray(spectra), deterministic=True,
         )
+        self.batch_stats = variables.get("batch_stats")
+        return variables
 
     def loss_fn(self, params, batch, rng, train: bool):
         photometry, photo_mask, metadata, images, spectra, labels = batch
         logits = self.module.apply(
-            {"params": params}, photometry, photo_mask, metadata, images, spectra,
+            self._variables(params), photometry, photo_mask, metadata, images, spectra,
             deterministic=not train, rngs={"dropout": rng} if train else {},
         )
         if str(self.fc_cfg.get("criterion", "ce")) == "focal":
@@ -145,7 +173,7 @@ class AppleCiderTask(Task):
     def predict(self, params, batch):
         photometry, photo_mask, metadata, images, spectra = batch[:5]
         logits = self.module.apply(
-            {"params": params}, photometry, photo_mask, metadata, images, spectra,
+            self._variables(params), photometry, photo_mask, metadata, images, spectra,
             deterministic=True,
         )
         return maybe_softmax(logits, bool(self.fc_cfg.get("use_probabilities", False)))

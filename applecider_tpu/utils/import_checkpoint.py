@@ -72,6 +72,16 @@ def convert(sd: dict, model: str, config) -> tuple[dict, dict]:
         return torch_port.astrominn_params(
             sd, tuple(mc.get("backbone_depths", (3, 3, 9, 3)))
         ), {}
+    if model in ("AppleCider", "Fusion"):
+        pc = config["model"]["BaselineCLS"]
+        ac = config["model"]["AstroMiNN"]
+        params, stats = torch_port.fusion_reference_params(
+            sd,
+            photometry_layers=int(pc["n_layers"]),
+            astrominn_backbone_depths=tuple(ac.get("backbone_depths", (3, 3, 9, 3))),
+            num_experts=int(ac.get("num_mlp_experts", 4)),
+        )
+        return params, ({"batch_stats": stats} if stats else {})
     raise SystemExit(f"unknown --model {model!r}")
 
 
@@ -161,6 +171,15 @@ def _probe_batch(model: str, config):
     if model == "AstroMiNN":
         return (rng.normal(size=(2, 24)).astype(np.float32),
                 rng.normal(size=(2, 63, 63, 3)).astype(np.float32),
+                np.zeros(2, np.int64))
+    if model in ("AppleCider", "Fusion"):
+        L = int(config["model"]["BaselineCLS"].get("max_len", 257))
+        chans = int(config["model"]["AppleCider"].get("image_channels", 3))
+        return (rng.normal(size=(2, L, 7)).astype(np.float32),
+                np.zeros((2, L), bool),
+                rng.normal(size=(2, 24)).astype(np.float32),
+                rng.normal(size=(2, 63, 63, chans)).astype(np.float32),
+                rng.normal(size=(2, 3481)).astype(np.float32),
                 np.zeros(2, np.int64))
     raise SystemExit(f"unknown --model {model!r}")
 

@@ -341,6 +341,49 @@ def rename_reference_astrominn_sd(sd: dict) -> dict:
     return out
 
 
+def fusion_reference_params(
+    sd: dict,
+    *,
+    photometry_layers: int,
+    spectra_depths=(1, 1, 1, 1, 1),
+    astrominn_backbone_depths=(3, 3, 9, 3),
+    num_experts: int = 4,
+) -> tuple[dict, dict]:
+    """REAL brew_cider AppleCider state_dict -> (flax params, batch_stats).
+
+    Layout per ``_archive/notebooks/brew_cider.py:807-862``:
+    ``photometry_encoder.*`` (archive BaselineCLS, embedding mode),
+    ``spectra_encoder.*`` (tri-pool build_spec_model, BN layout derived from
+    running_mean keys), ``img_metadata_encoder.*`` (XastroMiNN Sequential
+    names), projections + ``fc``. Returns batch_stats nested under
+    ``spectra_encoder`` for the BN stages.
+    """
+    spectra_sd = _sub(sd, "spectra_encoder")
+    use_ln = [
+        f"stage{s + 1}.0.norm.running_mean" not in spectra_sd
+        for s in range(len(spectra_depths))
+    ]
+    spectra_params, spectra_stats = spectranet_tripool_params(
+        spectra_sd, spectra_depths, use_ln
+    )
+    img_sd = rename_reference_astrominn_sd(_sub(sd, "img_metadata_encoder"))
+    params = {
+        "photometry_encoder": baseline_cls_params(
+            _sub(sd, "photometry_encoder"), photometry_layers, classification=False
+        ),
+        "spectra_encoder": spectra_params,
+        "img_meta_encoder": astrominn_params(
+            img_sd, astrominn_backbone_depths, num_experts
+        ),
+        "photometry_proj": _lin(sd, "photometry_proj"),
+        "spectra_proj": _lin(sd, "spectra_proj"),
+        "img_metadata_proj": _lin(sd, "img_metadata_proj"),
+        "fc": _lin(sd, "fc"),
+    }
+    stats = {"spectra_encoder": spectra_stats} if spectra_stats else {}
+    return params, stats
+
+
 def mpt_to_classifier_warmstart(mpt_flax_params: dict) -> dict:
     """Weight surgery: MPT trunk -> fresh classifier warm start.
 

@@ -232,6 +232,116 @@ def test_spectranet_tripool_vs_brew_cider():
     _assert_close(got, want, what="tri-pool SpectraNet logits")
 
 
+# -------------------------------------------------- full brew_cider fusion
+def _extract_nodes(relpath: str, names: list[str], ns: dict) -> dict:
+    """Exec selected top-level defs/classes from a reference script."""
+    import ast
+
+    src = (REF / relpath).read_text()
+    src = "\n".join(
+        line for line in src.splitlines() if not line.lstrip().startswith("%")
+    )
+    tree = ast.parse(src)
+    picked = [
+        n for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.ClassDef)) and n.name in names
+    ]
+    assert {n.name for n in picked} == set(names)
+    exec(compile(ast.Module(body=picked, type_ignores=[]), relpath, "exec"), ns)
+    return ns
+
+
+def test_full_fusion_vs_real_brew_cider(rng):
+    """The paper's fusion model, assembled from the reference's own code
+    (brew_cider.py AppleCider = archive BaselineCLS + tri-pool SpectraNet +
+    XastroMiNN), ported whole into the flax fusion at 1e-4.
+
+    SplitHeadConvNeXt/ResidualTowerBlock come from the archive module
+    (timm stubbed by the parity-tested oracle) because brew_cider imports
+    them from an unavailable package path."""
+    # building blocks from the archive module
+    timm = types.ModuleType("timm")
+
+    def create_model(model_name, pretrained=False, in_chans=3, num_classes=0, **kw):
+        m = TorchConvNeXt(depths=(1, 1), dims=(8, 16), in_chans=in_chans)
+        m.num_features = 16
+        return m
+
+    timm.create_model = create_model
+    saved_timm, had = sys.modules.get("timm"), "timm" in sys.modules
+    sys.modules["timm"] = timm
+    try:
+        arch = _import_ref("_archive/AppleCider/models/AstroMiNN.py", "ref_am_blocks")
+        ns = {
+            "torch": torch, "nn": torch.nn, "F": torch.nn.functional,
+            "device": torch.device("cpu"),
+            "ResidualTowerBlock": arch.ResidualTowerBlock,
+            "SplitHeadConvNeXt": arch.SplitHeadConvNeXt,
+        }
+        _extract_nodes(
+            "_archive/notebooks/brew_cider.py",
+            ["Time2Vec", "BaselineCLS", "build_spec_model", "XastroMiNN", "AppleCider"],
+            ns,
+        )
+        config = {
+            "mode": "all", "num_classes": 5, "max_len": 64,
+            "p_d_model": 32, "p_n_heads": 4, "p_n_layers": 1, "p_dropout": 0.0,
+            "hidden_dim": 8, "fusion": "concat",
+        }
+        with cpu_patched_torch():
+            ref = ns["AppleCider"](config).eval()
+            B, L = 2, 48
+            photometry = rng.normal(size=(B, L, 7)).astype(np.float32)
+            pad = np.zeros((B, L), bool)
+            pad[:, 30:] = True
+            metadata = rng.normal(size=(B, 24)).astype(np.float32)
+            images = rng.normal(size=(B, 4, 63, 63)).astype(np.float32)
+            spectra = rng.normal(size=(B, 4096)).astype(np.float32)
+            with torch.no_grad():
+                want = ref(
+                    torch.from_numpy(photometry), torch.from_numpy(pad),
+                    torch.from_numpy(metadata), torch.from_numpy(images),
+                    torch.from_numpy(spectra).unsqueeze(1),
+                ).numpy()
+    finally:
+        if had:
+            sys.modules["timm"] = saved_timm
+        else:
+            sys.modules.pop("timm", None)
+
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.models.fusion import AppleCiderTask
+
+    cfg = load_defaults()
+    cfg.set("train.compute_dtype", "float32")
+    cfg.set("model.BaselineCLS.d_model", 32)
+    cfg.set("model.BaselineCLS.n_heads", 4)
+    cfg.set("model.BaselineCLS.n_layers", 1)
+    cfg.set("model.BaselineCLS.dropout", 0.0)
+    cfg.set("model.AppleCider.spectra_encoder", "tripool")
+    cfg.set("model.AppleCider.hidden_dim", 8)
+    cfg.set("model.AppleCider.fusion", "concat")
+    cfg.set("model.SpectraNetTriPool.use_ln_stages",
+            [False, False, False, False, True])
+    cfg.set("model.AstroMiNN.backbone_depths", [1, 1])
+    cfg.set("model.AstroMiNN.backbone_dims", [8, 16])
+    task = AppleCiderTask(cfg)
+
+    params, stats = torch_port.fusion_reference_params(
+        state_dict_numpy(ref), photometry_layers=1,
+        astrominn_backbone_depths=(1, 1),
+    )
+    params = jax.tree.map(np.asarray, params)
+    task.batch_stats = stats
+    got = task.module.apply(
+        {"params": params, **({"batch_stats": stats} if stats else {})},
+        photometry, pad, metadata,
+        np.transpose(images, (0, 2, 3, 1)), spectra,
+        deterministic=True,
+    )
+    _assert_close(got, want, what="brew_cider full-fusion logits")
+
+
 # ----------------------------------------------------------------- AstroMiNN
 def _load_ref_astrominn_config() -> dict:
     import tomllib
