@@ -178,12 +178,21 @@ def run_bench(device) -> dict:
         pack_rate = 2 * bs / (time.perf_counter() - t0)
         _block(pipe(raws[0]))  # compile + warm
         iters = 20 if on_tpu else 3
+        profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+        ctx = (
+            jax.profiler.trace(profile_dir)
+            if profile_dir and e2e_best[0] == 0.0 else None
+        )
         # rotate two distinct host batches: every dispatch pays real H2D
         t0 = time.perf_counter()
         out = None
+        if ctx is not None:
+            ctx.__enter__()
         for i in range(iters):
             out = pipe(raws[i % 2])
         _block(out)
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
         dt = time.perf_counter() - t0
         rate = bs * iters / dt
         if rate > e2e_best[0]:
