@@ -6,10 +6,10 @@ per alert in Python/pandas/numba (SURVEY call stack 3.1); here the entire
 tensor path after raw-file decode compiles to one XLA program over
 fixed-shape batches:
 
-* greedy 12-hour per-band light-curve merge — re-expressed as a
-  ``lax.scan`` group-start flagging + ``segment_sum`` weighted collapse
-  (numerically identical to the reference's numba loop, batched over
-  (sample, band) on device);
+* greedy 12-hour per-band light-curve merge — group starts found by an
+  O(log P)-depth pointer-doubling chain expansion (scan oracle kept for
+  testing) + ``segment_sum`` weighted collapse (numerically identical to
+  the reference's numba loop, batched over (sample, band) on device);
 * event featurization: dt/dt_prev/logflux/one-hot (the model's (P, 7)
   layout — colors live in the training-corpus event_data, not here) + the
   causal context block at the alert cut;
@@ -35,8 +35,11 @@ N_BANDS = 3
 
 
 # ---------------------------------------------------------------- merge
-def _band_group_flags(t: jax.Array, is_band: jax.Array, dt_days: float) -> jax.Array:
-    """Greedy window starts for one band over a time-sorted sequence."""
+def _band_group_flags_scan(t: jax.Array, is_band: jax.Array, dt_days: float) -> jax.Array:
+    """Greedy window starts for one band over a time-sorted sequence.
+
+    Reference semantics (O(P) sequential scan); kept as the oracle for the
+    pointer-doubling implementation below."""
 
     def step(t0, x):
         ti, active = x
@@ -46,6 +49,43 @@ def _band_group_flags(t: jax.Array, is_band: jax.Array, dt_days: float) -> jax.A
 
     _, flags = jax.lax.scan(step, -jnp.inf, (t, is_band))
     return flags
+
+
+def _band_group_flags(t: jax.Array, is_band: jax.Array, dt_days: float) -> jax.Array:
+    """Greedy window starts via pointer doubling — O(log P) depth.
+
+    Precondition: ``t`` ascending with invalid slots as +inf at the tail
+    (the ``pack_alert_batch`` layout) — searchsorted relies on it.
+
+    The greedy chain is: s0 = first in-band point; s_{k+1} = first in-band
+    point with t > t[s_k] + dt. ``next(i)`` is computed for every i at once
+    (searchsorted + next-in-band table), then the chain's orbit is expanded
+    with log2(P) jump-doubling rounds instead of a P-step scan. Exactly
+    equivalent to ``_band_group_flags_scan`` (tested); ~30x fewer sequential
+    steps at P=257, which matters for single-alert latency on TPU.
+    """
+    P = t.shape[0]
+    sentinel = P  # chain end
+    rng = jnp.arange(P)
+    # first j with t[j] > t[i] + dt (t is sorted; invalid slots are +inf)
+    k = jnp.searchsorted(t, t + dt_days, side="right")  # values in [0, P]
+    # next in-band index >= p, via reverse running-min over band positions
+    idx = jnp.where(is_band, rng, sentinel)
+    nxt_in_band = jax.lax.associative_scan(jnp.minimum, idx, reverse=True)
+    nxt_in_band_ext = jnp.concatenate([nxt_in_band, jnp.full((1,), sentinel)])
+    # jump table f(i) = next group start after start i; f(sentinel) = sentinel
+    jump = jnp.concatenate([nxt_in_band_ext[k], jnp.full((1,), sentinel)])
+
+    # orbit of f from the first in-band point, by list doubling:
+    # after round r, pos[0:2^r] = f^0..f^{2^r-1}(s0) and jump = f^{2^r}
+    pos = jnp.full((P,), sentinel).at[0].set(nxt_in_band[0])
+    m = 1
+    while m < P:
+        mapped = jump[pos]  # f^m of every current chain node
+        pos = jnp.where((rng >= m) & (rng < 2 * m), jnp.roll(mapped, m), pos)
+        jump = jump[jump]  # f^{2m}; fixed point at the sentinel
+        m *= 2
+    return jnp.zeros((P,), bool).at[pos].set(True, mode="drop")  # pos==P drops
 
 
 def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: float = 1e-8):
@@ -185,11 +225,14 @@ class AlertStreamPipeline:
         call fans out over every chip of a pod slice.
 
         ``freeze_params_with``: optional params pytree baked into the
-        compiled executable as constants. XLA then constant-folds every
-        param-only subgraph — in particular the conv kernels' FFTs, which
-        otherwise re-run per call — and the conv auto-router assumes free
-        kernel transforms (FFT wins even at batch 1). Best for low-latency
-        serving; pass ``params=None`` at call time. Recompiles on new
+        compiled executable as constants. XLA then constant-folds
+        param-only subgraphs — and the conv auto-router assumes free
+        kernel transforms (FFT viable even at batch 1). Trade-off: the
+        weights are embedded in every compiled executable (~140MB per
+        shape for the full fusion model), so compiles/cache entries are
+        large and XLA may decline to fold the biggest kernel FFTs (size
+        caps). Use for latency-critical single-shape serving; prefer the
+        default arg-passing mode everywhere else. Recompiles on new
         weights."""
         self.task = task
         self.mean = jnp.asarray(

@@ -193,3 +193,27 @@ def test_frozen_params_pipeline_matches_and_routes_fft():
     np.testing.assert_allclose(
         np.asarray(frozen(raw)), np.asarray(plain(params, raw)), rtol=2e-5, atol=2e-6
     )
+
+
+def test_pointer_doubling_merge_flags_match_scan(rng):
+    """The O(log P) pointer-doubling group-start computation is exactly the
+    greedy scan, across random band patterns, duplicates, and edge cases."""
+    from applecider_tpu.infer.stream import _band_group_flags, _band_group_flags_scan
+
+    for trial in range(30):
+        P = int(rng.integers(1, 80))
+        t = np.sort(rng.uniform(0, 30, P)).astype(np.float32)
+        if trial % 3 == 0 and P > 4:  # inject duplicates and exact-dt gaps
+            t[P // 2] = t[P // 2 - 1]
+            t[-1] = t[-2] + 0.5
+        # packing contract: valid entries form a time-sorted prefix
+        n_valid = int(rng.integers(0, P + 1))
+        valid = np.arange(P) < n_valid
+        t_sorted = np.where(valid, t, np.inf).astype(np.float32)
+        band = rng.integers(0, 3, P)
+        is_band = valid & (band == 1)
+        want = np.asarray(_band_group_flags_scan(
+            jnp.asarray(t_sorted), jnp.asarray(is_band), 0.5))
+        got = np.asarray(_band_group_flags(
+            jnp.asarray(t_sorted), jnp.asarray(is_band), 0.5))
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial} P={P}")
