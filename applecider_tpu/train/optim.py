@@ -56,6 +56,24 @@ def warmup_cosine(base_lr: float, warmup_steps: int, total_steps: int) -> optax.
     )
 
 
+def freeze_subtrees(tx: optax.GradientTransformation, prefixes) -> optax.GradientTransformation:
+    """Zero updates for params whose '/'-joined path starts with a prefix.
+
+    Enables the reference's head-then-full finetune recipe (train the
+    classifier with the MPT-pretrained trunk frozen, then unfreeze).
+    """
+    prefixes = tuple(str(p) for p in prefixes)
+
+    def labels(params):
+        def lab(path, _):
+            joined = "/".join(str(getattr(p, "key", p)) for p in path)
+            return "frozen" if joined.startswith(prefixes) else "train"
+
+        return jax.tree_util.tree_map_with_path(lab, params)
+
+    return optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()}, labels)
+
+
 def with_grad_clip(tx: optax.GradientTransformation, max_norm: float | None) -> optax.GradientTransformation:
     if max_norm is None or max_norm <= 0:
         return tx

@@ -33,6 +33,7 @@ from applecider_tpu.train.optim import (
     EMA,
     EarlyStopping,
     ReduceLROnPlateau,
+    freeze_subtrees,
     set_plateau_scale,
     with_grad_clip,
     with_plateau_scale,
@@ -63,6 +64,11 @@ class Trainer:
             mesh = make_mesh(shape=shape, axes=axes)
         self.mesh = mesh
         self.tx = with_grad_clip(task.make_optimizer(), task.grad_clip)
+        freeze = list(config.get_path("train.freeze_params", default=[]))
+        if freeze:
+            # reference finetune strategy B (baselineCLS_example notebook):
+            # train the head with the pretrained trunk frozen, then unfreeze
+            self.tx = freeze_subtrees(self.tx, freeze)
         plateau_factor = float(config.get_path("train.plateau_factor", default=0.0))
         self.plateau = None
         if plateau_factor > 0.0:

@@ -271,3 +271,53 @@ def test_plateau_state_survives_resume(tmp_path):
     scales = [h.get("lr_scale") for h in out2["history"]]
     # first post-resume epoch continues from the reduced scale
     assert scales[0] is not None and scales[0] <= t1.plateau.scale
+
+
+def test_freeze_params_keeps_trunk_fixed(tmp_path):
+    """train.freeze_params=['trunk'] trains the head only (strategy B)."""
+    import jax
+
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.models.baseline_cls import BaselineCLSTask
+    from applecider_tpu.train.trainer import Trainer
+
+    rng_np = np.random.default_rng(2)
+    photometry = rng_np.normal(size=(8, 16, 7)).astype(np.float32)
+    pad = np.zeros((8, 16), bool)
+    labels = rng_np.integers(0, 5, 8).astype(np.int64)
+
+    class Loader:
+        def __iter__(self):
+            yield {"data": {"photometry": photometry, "pad_mask": pad, "label": labels,
+                            "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}}
+
+        def set_epoch(self, epoch):
+            pass
+
+    cfg = load_defaults()
+    cfg.set("model.BaselineCLS.d_model", 16)
+    cfg.set("model.BaselineCLS.n_heads", 2)
+    cfg.set("model.BaselineCLS.n_layers", 1)
+    cfg.set("model.BaselineCLS.dropout", 0.0)
+    cfg.set("train.compute_dtype", "float32")
+    cfg.set("train.freeze_params", ["trunk"])
+    cfg.set("checkpoint.resume", False)
+    task = BaselineCLSTask(cfg)
+    trainer = Trainer(task, cfg, tmp_path)
+
+    batch0 = task.to_tensor(next(iter(Loader())))
+    # reproduce fit's init key derivation (PRNGKey(train.seed) -> split)
+    _, init_rng = jax.random.split(jax.random.PRNGKey(42))
+    init = task.init(init_rng, batch0)["params"]
+    out = trainer.fit(Loader(), epochs=2)
+    final = out["state"].params
+    trunk_moved = np.abs(
+        np.asarray(final["trunk"]["in_proj"]["kernel"])
+        - np.asarray(init["trunk"]["in_proj"]["kernel"])
+    ).max()
+    # same seed => same init; trunk must be untouched, head must move
+    assert trunk_moved == 0.0
+    head_moved = np.abs(
+        np.asarray(final["fc"]["kernel"]) - np.asarray(init["fc"]["kernel"])
+    ).max()
+    assert head_moved > 0.0
