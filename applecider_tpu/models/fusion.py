@@ -10,6 +10,12 @@ Behavioral contract from the reference
 * L2 normalization of each projected embedding;
 * fusion by ``avg`` or ``concat`` -> final Linear classifier.
 
+Concat order: the two archive variants disagree — ``core/model.py:57``
+concatenates (p, s, im) while ``brew_cider.py:852`` (the paper's training
+script) uses (p, im, s). This build follows **brew_cider**: (p, im, s);
+reference checkpoints imported via ``torch_port.fusion_reference_params``
+therefore reproduce exactly.
+
 The spectra branch uses SpectraNet's pre-classifier hidden representation
 (the archive variants disagree between "logits" and a 256-d embedding; the
 projection layer makes either work — flax infers the input width).
