@@ -95,6 +95,12 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
     with +inf times / zero flux.
     """
     P = t.shape[0]
+    # order by time with invalid at the tail (the reference's host merge
+    # sorts by time first; this also discharges the pointer-doubling
+    # helper's sortedness precondition for any valid-mask layout)
+    order = jnp.argsort(jnp.where(valid, t, jnp.inf))
+    t, flux, err = t[order], flux[order], err[order]
+    band, valid = band[order], valid[order]
     t_sorted = jnp.where(valid, t, jnp.inf)
 
     seg_ids = jnp.full((P,), 3 * P, dtype=jnp.int32)  # overflow bucket
@@ -248,7 +254,12 @@ class AlertStreamPipeline:
         self.mesh = mesh
         self._placed_params = None
         self._placed_src = None
+        # frozen BN running stats (e.g. imported tri-pool fusion) snapshot
+        # at construction; they are jit-trace constants
+        self._batch_stats = getattr(task, "batch_stats", None)
         self._frozen = freeze_params_with is not None
+        if self._frozen and mesh is not None:
+            raise ValueError("freeze_params_with and mesh are mutually exclusive")
         if self._frozen:
             frozen = jax.tree.map(jnp.asarray, freeze_params_with)
             self._jitted = jax.jit(lambda raw: self._forward(frozen, raw))
@@ -280,18 +291,28 @@ class AlertStreamPipeline:
         )
         spectra = jnp.where(raw["has_spectrum"][:, None], spectra, 0.0)
 
+        variables = {"params": params}
+        if self._batch_stats:
+            variables["batch_stats"] = self._batch_stats
         logits = self.task.module.apply(
-            {"params": params},
+            variables,
             photometry, pad_mask, metadata, raw["image"], spectra,
             deterministic=True,
         )
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     def __call__(self, params, raw=None):
-        if raw is None:  # frozen-params convenience: __call__(raw)
+        if raw is None:  # one-arg convenience: __call__(raw)
             params, raw = None, params
         if self._frozen:
+            if params is not None:
+                raise ValueError(
+                    "this pipeline was built with freeze_params_with=...; "
+                    "weights are baked in — call pipe(raw) without params"
+                )
             return self._jitted(raw)
+        if params is None:
+            raise TypeError("params required: call pipe(params, raw)")
         if self.mesh is not None:
             from applecider_tpu.parallel.mesh import replicate, shard_batch
 
@@ -323,13 +344,14 @@ def pack_alert_batch(
         need = min(max(len(s["photo_t"]) for s in samples), max_photo)
         usable = [b for b in sorted(length_buckets) if b <= max_photo]
         max_photo = next((b for b in usable if b >= need), max_photo)
+    img_shape = np.asarray(samples[0]["image"]).shape if samples else (63, 63, 3)
     out = {
         "photo_t": np.zeros((B, max_photo), np.float32),
         "photo_flux": np.zeros((B, max_photo), np.float32),
         "photo_err": np.ones((B, max_photo), np.float32),
         "photo_band": np.zeros((B, max_photo), np.int32),
         "photo_valid": np.zeros((B, max_photo), bool),
-        "image": np.zeros((B, 63, 63, 3), np.float32),
+        "image": np.zeros((B, *img_shape), np.float32),
         "meta19": np.zeros((B, 19), np.float32),
         "spec_wl": np.zeros((B, max_spec), np.float32),
         "spec_flux": np.zeros((B, max_spec), np.float32),

@@ -160,7 +160,8 @@ class AppleCiderTask(Task):
             jnp.asarray(photometry), jnp.asarray(photo_mask), jnp.asarray(metadata),
             jnp.asarray(images), jnp.asarray(spectra), deterministic=True,
         )
-        self.batch_stats = variables.get("batch_stats")
+        if self.batch_stats is None:  # keep stats assigned from a checkpoint
+            self.batch_stats = variables.get("batch_stats")
         return variables
 
     def loss_fn(self, params, batch, rng, train: bool):

@@ -368,7 +368,8 @@ class SpectraNetTriPoolTask(Task):
         variables = self.module.init(
             {"params": rng}, jnp.asarray(batch[0]), deterministic=True
         )
-        self.batch_stats = variables.get("batch_stats")
+        if self.batch_stats is None:  # keep stats assigned from a checkpoint
+            self.batch_stats = variables.get("batch_stats")
         return variables
 
     def loss_fn(self, params, batch, rng, train: bool):

@@ -67,7 +67,12 @@ def freeze_subtrees(tx: optax.GradientTransformation, prefixes) -> optax.Gradien
     def labels(params):
         def lab(path, _):
             joined = "/".join(str(getattr(p, "key", p)) for p in path)
-            return "frozen" if joined.startswith(prefixes) else "train"
+            # segment-boundary match: 'trunk' freezes trunk/* but not a
+            # sibling named trunk_norm
+            frozen = any(
+                joined == pre or joined.startswith(pre + "/") for pre in prefixes
+            )
+            return "frozen" if frozen else "train"
 
         return jax.tree_util.tree_map_with_path(lab, params)
 

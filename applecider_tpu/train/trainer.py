@@ -152,6 +152,11 @@ class Trainer:
                 [self.plateau.best, self.plateau.bad_epochs, self.plateau.scale],
                 dtype=np.float64,
             )
+        batch_stats = getattr(self.task, "batch_stats", None)
+        if batch_stats:
+            # frozen BN running stats (imported reference checkpoints) ride
+            # along so a resumed/exported run keeps its normalization
+            payload["batch_stats"] = batch_stats
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
@@ -170,19 +175,25 @@ class Trainer:
         }
         if self.plateau is not None:
             target["plateau"] = np.zeros(3, np.float64)
+        batch_stats = getattr(self.task, "batch_stats", None)
+        if batch_stats:
+            target["batch_stats"] = batch_stats
         try:
             restored = ckptr.restore(path, target)
         except Exception:
-            if "plateau" not in target:
+            if "plateau" not in target and "batch_stats" not in target:
                 raise
-            # checkpoint predates plateau tracking; restore without it
-            target.pop("plateau")
+            # older checkpoint without the optional host-state entries
+            target.pop("plateau", None)
+            target.pop("batch_stats", None)
             restored = ckptr.restore(path, target)
         if self.plateau is not None and "plateau" in restored:
             best, bad, scale = (float(v) for v in restored["plateau"])
             self.plateau.best = best
             self.plateau.bad_epochs = int(bad)
             self.plateau.scale = scale
+        if "batch_stats" in restored:
+            self.task.batch_stats = restored["batch_stats"]
         state = TrainState(restored["params"], restored["opt_state"], int(restored["step"]))
         return state, int(restored["epoch"]) + 1
 

@@ -179,21 +179,20 @@ def run_bench(device) -> dict:
         pack_rate = 2 * bs / (time.perf_counter() - t0)
         _block(pipe(params, raws[0]))  # compile + warm
         iters = 20 if on_tpu else 3
+        import contextlib
+
         profile_dir = os.environ.get("BENCH_PROFILE_DIR")
         ctx = (
             jax.profiler.trace(profile_dir)
-            if profile_dir and e2e_best[0] == 0.0 else None
+            if profile_dir and e2e_best[0] == 0.0 else contextlib.nullcontext()
         )
         # rotate two distinct host batches: every dispatch pays real H2D
         t0 = time.perf_counter()
         out = None
-        if ctx is not None:
-            ctx.__enter__()
-        for i in range(iters):
-            out = pipe(params, raws[i % 2])
-        _block(out)
-        if ctx is not None:
-            ctx.__exit__(None, None, None)
+        with ctx:
+            for i in range(iters):
+                out = pipe(params, raws[i % 2])
+            _block(out)
         dt = time.perf_counter() - t0
         rate = bs * iters / dt
         if rate > e2e_best[0]:

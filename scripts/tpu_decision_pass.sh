@@ -6,7 +6,7 @@
 # the tunnel); budget >30 min for cold remote compiles.
 #
 #   bash scripts/tpu_decision_pass.sh [outdir]
-set -u
+set -euo pipefail
 OUT="${1:-/root/repo/tpu_results}"
 mkdir -p "$OUT"
 cd /root/repo

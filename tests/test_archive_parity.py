@@ -341,6 +341,28 @@ def test_full_fusion_vs_real_brew_cider(rng):
     )
     _assert_close(got, want, what="brew_cider full-fusion logits")
 
+    # and the imported model must SERVE: the stream pipeline threads the
+    # frozen BN stats (regression: it used to apply {'params'} only and
+    # crash on the missing batch_stats collection)
+    from applecider_tpu.infer.stream import AlertStreamPipeline, pack_alert_batch
+
+    assert stats, "expected BN running stats for the reference layout"
+    task.batch_stats = stats
+    pipe = AlertStreamPipeline(
+        task, wave_grid=np.linspace(4500.0, 7980.0, 4096).astype(np.float32)
+    )
+    raw_alert = {
+        "photo_t": np.sort(rng.uniform(0, 30, 12)).astype(np.float32),
+        "photo_flux": rng.lognormal(2.0, 1.0, 12).astype(np.float32),
+        "photo_err": rng.uniform(0.5, 2.0, 12).astype(np.float32),
+        "photo_band": rng.integers(0, 3, 12).astype(np.int32),
+        "image": rng.normal(size=(63, 63, 4)).astype(np.float32),
+        "meta19": rng.normal(size=19).astype(np.float32),
+    }
+    probs = np.asarray(pipe(params, pack_alert_batch([raw_alert], max_photo=L)))
+    assert probs.shape == (1, 5) and np.isfinite(probs).all()
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
 
 # ----------------------------------------------------------------- AstroMiNN
 def _load_ref_astrominn_config() -> dict:
