@@ -258,7 +258,15 @@ class Trainer:
             if losses:
                 record["last_grad_norm"] = float(metrics.get("grad_norm", np.nan))
             if val_loader is not None:
-                val = self.evaluate(state.params, val_loader)
+                # reference EMA recipe (train_utils.py:17-45 apply_shadow):
+                # validate with the shadow weights when EMA is enabled
+                eval_params = (
+                    self.ema.params()
+                    if self.ema is not None
+                    and bool(self.config.get_path("train.eval_with_ema", default=True))
+                    else state.params
+                )
+                val = self.evaluate(eval_params, val_loader)
                 record.update({f"val_{k}": v for k, v in val.items()
                                if isinstance(v, (int, float, np.floating))})
                 monitor = val.get("accuracy", -val.get("loss", 0.0))

@@ -321,3 +321,46 @@ def test_freeze_params_keeps_trunk_fixed(tmp_path):
         np.asarray(final["fc"]["kernel"]) - np.asarray(init["fc"]["kernel"])
     ).max()
     assert head_moved > 0.0
+
+
+def test_eval_with_ema_uses_shadow_weights(tmp_path):
+    """With EMA enabled, validation runs on the shadow weights (reference
+    apply_shadow recipe): high decay keeps the shadow near init, so val loss
+    differs from a raw-params evaluation."""
+    import jax
+
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.models.baseline_cls import BaselineCLSTask
+    from applecider_tpu.train.trainer import Trainer
+
+    rng_np = np.random.default_rng(6)
+    photometry = rng_np.normal(size=(8, 16, 7)).astype(np.float32)
+    pad = np.zeros((8, 16), bool)
+    labels = rng_np.integers(0, 5, 8).astype(np.int64)
+
+    class Loader:
+        def __iter__(self):
+            yield {"data": {"photometry": photometry, "pad_mask": pad, "label": labels,
+                            "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}}
+
+        def set_epoch(self, epoch):
+            pass
+
+    def run(eval_with_ema, workdir):
+        cfg = load_defaults()
+        cfg.set("model.BaselineCLS.d_model", 16)
+        cfg.set("model.BaselineCLS.n_heads", 2)
+        cfg.set("model.BaselineCLS.n_layers", 1)
+        cfg.set("model.BaselineCLS.dropout", 0.0)
+        cfg.set("model.BaselineCLS.lr", 0.05)  # big steps so params move far
+        cfg.set("train.compute_dtype", "float32")
+        cfg.set("train.ema_decay", 0.999)
+        cfg.set("train.eval_with_ema", eval_with_ema)
+        cfg.set("checkpoint.resume", False)
+        trainer = Trainer(BaselineCLSTask(cfg), cfg, workdir)
+        out = trainer.fit(Loader(), Loader(), epochs=2)
+        return out["history"][-1]["val_loss"]
+
+    ema_loss = run(True, tmp_path / "ema")
+    raw_loss = run(False, tmp_path / "raw")
+    assert abs(ema_loss - raw_loss) > 1e-6
