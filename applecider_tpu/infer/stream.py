@@ -30,7 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LOG_CONST = 1.0 / jnp.log(10.0)
+# plain float: a module-level jnp expression would initialize the jax
+# backend at import time (and hang if the TPU tunnel is wedged)
+LOG_CONST = float(1.0 / np.log(10.0))
 N_BANDS = 3
 
 
@@ -88,19 +90,23 @@ def _band_group_flags(t: jax.Array, is_band: jax.Array, dt_days: float) -> jax.A
     return jnp.zeros((P,), bool).at[pos].set(True, mode="drop")  # pos==P drops
 
 
-def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: float = 1e-8):
-    """One sample: (P,) sorted arrays -> merged (P,) arrays + valid mask.
+def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: float = 1e-8,
+                      assume_sorted: bool = False):
+    """One sample: (P,) arrays -> merged (P,) arrays + valid mask.
 
     Returns (t_m, f_m, e_m, band_m, valid_m) sorted by merged time, padded
-    with +inf times / zero flux.
+    with +inf times / zero flux. ``assume_sorted=True`` skips the input
+    reorder when the caller guarantees time-ascending valid-prefix layout
+    (``pack_alert_batch`` does).
     """
     P = t.shape[0]
-    # order by time with invalid at the tail (the reference's host merge
-    # sorts by time first; this also discharges the pointer-doubling
-    # helper's sortedness precondition for any valid-mask layout)
-    order = jnp.argsort(jnp.where(valid, t, jnp.inf))
-    t, flux, err = t[order], flux[order], err[order]
-    band, valid = band[order], valid[order]
+    if not assume_sorted:
+        # order by time with invalid at the tail (the reference's host merge
+        # sorts by time first; this also discharges the pointer-doubling
+        # helper's sortedness precondition for any valid-mask layout)
+        order = jnp.argsort(jnp.where(valid, t, jnp.inf))
+        t, flux, err = t[order], flux[order], err[order]
+        band, valid = band[order], valid[order]
     t_sorted = jnp.where(valid, t, jnp.inf)
 
     seg_ids = jnp.full((P,), 3 * P, dtype=jnp.int32)  # overflow bucket
@@ -273,7 +279,9 @@ class AlertStreamPipeline:
             return self._forward_body(params, raw)
 
     def _forward_body(self, params, raw):
-        merge = jax.vmap(partial(merge_light_curve, dt_days=self.dt_days))
+        merge = jax.vmap(
+            partial(merge_light_curve, dt_days=self.dt_days, assume_sorted=True)
+        )
         t_m, f_m, e_m, band_m, valid_m = merge(
             raw["photo_t"], raw["photo_flux"], raw["photo_err"],
             raw["photo_band"], raw["photo_valid"],
