@@ -132,6 +132,37 @@ def test_logit_sequence_dataset(tmp_path, rng):
     assert batch["pad_mask"].shape == (4, 10)
 
 
+def _photo_loader(seed: int, n: int = 8, L: int = 16):
+    """Single-batch loader + tiny-BaselineCLS config used by the Trainer tests."""
+    rng_np = np.random.default_rng(seed)
+    photometry = rng_np.normal(size=(n, L, 7)).astype(np.float32)
+    pad = np.zeros((n, L), bool)
+    labels = rng_np.integers(0, 5, n).astype(np.int64)
+
+    class Loader:
+        def __iter__(self):
+            yield {"data": {"photometry": photometry, "pad_mask": pad, "label": labels,
+                            "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}}
+
+        def set_epoch(self, epoch):
+            pass
+
+    return Loader
+
+
+def _tiny_cls_config():
+    from applecider_tpu.config import load_defaults
+
+    cfg = load_defaults()
+    cfg.set("model.BaselineCLS.d_model", 16)
+    cfg.set("model.BaselineCLS.n_heads", 2)
+    cfg.set("model.BaselineCLS.n_layers", 1)
+    cfg.set("model.BaselineCLS.dropout", 0.0)
+    cfg.set("train.compute_dtype", "float32")
+    cfg.set("checkpoint.resume", False)
+    return cfg
+
+
 def test_plateau_scale_halves_updates():
     """with_plateau_scale: host-set multiplier scales optimizer updates
     without rebuilding the transformation."""
@@ -158,24 +189,9 @@ def test_trainer_plateau_lowers_lr_scale(tmp_path):
     from applecider_tpu.models.baseline_cls import BaselineCLSTask
     from applecider_tpu.train.trainer import Trainer
 
-    rng_np = np.random.default_rng(0)
-    photometry = rng_np.normal(size=(8, 16, 7)).astype(np.float32)
-    pad = np.zeros((8, 16), bool)
-    labels = rng_np.integers(0, 5, 8).astype(np.int64)
+    Loader = _photo_loader(seed=0)
 
-    class Loader:
-        def __iter__(self):
-            yield {"data": {"photometry": photometry, "pad_mask": pad, "label": labels,
-                            "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}}
-
-        def set_epoch(self, epoch):
-            pass
-
-    cfg = load_defaults()
-    cfg.set("model.BaselineCLS.d_model", 16)
-    cfg.set("model.BaselineCLS.n_heads", 2)
-    cfg.set("model.BaselineCLS.n_layers", 1)
-    cfg.set("model.BaselineCLS.dropout", 0.0)
+    cfg = _tiny_cls_config()
     cfg.set("model.BaselineCLS.lr", 0.0)  # loss cannot improve -> plateau fires
     cfg.set("train.compute_dtype", "float32")
     cfg.set("train.plateau_factor", 0.5)
@@ -198,26 +214,10 @@ def test_remat_training_matches_exact(tmp_path):
     from applecider_tpu.models.baseline_cls import BaselineCLSTask
     from applecider_tpu.train.trainer import Trainer
 
-    rng_np = np.random.default_rng(4)
-    photometry = rng_np.normal(size=(8, 16, 7)).astype(np.float32)
-    pad = np.zeros((8, 16), bool)
-    labels = rng_np.integers(0, 5, 8).astype(np.int64)
-
-    class Loader:
-        def __iter__(self):
-            yield {"data": {"photometry": photometry, "pad_mask": pad, "label": labels,
-                            "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}}
-
-        def set_epoch(self, epoch):
-            pass
+    Loader = _photo_loader(seed=4)
 
     def run(remat, workdir):
-        cfg = load_defaults()
-        cfg.set("model.BaselineCLS.d_model", 16)
-        cfg.set("model.BaselineCLS.n_heads", 2)
-        cfg.set("model.BaselineCLS.n_layers", 1)
-        cfg.set("model.BaselineCLS.dropout", 0.0)
-        cfg.set("train.compute_dtype", "float32")
+        cfg = _tiny_cls_config()
         cfg.set("train.remat", remat)
         cfg.set("checkpoint.resume", False)
         trainer = Trainer(BaselineCLSTask(cfg), cfg, workdir)
@@ -237,36 +237,21 @@ def test_plateau_state_survives_resume(tmp_path):
     from applecider_tpu.models.baseline_cls import BaselineCLSTask
     from applecider_tpu.train.trainer import Trainer
 
-    rng_np = np.random.default_rng(1)
-    photometry = rng_np.normal(size=(8, 16, 7)).astype(np.float32)
-    pad = np.zeros((8, 16), bool)
-    labels = rng_np.integers(0, 5, 8).astype(np.int64)
-
-    class Loader:
-        def __iter__(self):
-            yield {"data": {"photometry": photometry, "pad_mask": pad, "label": labels,
-                            "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}}
-
-        def set_epoch(self, epoch):
-            pass
+    Loader = _photo_loader(seed=1)
 
     def cfg_():
-        cfg = load_defaults()
-        cfg.set("model.BaselineCLS.d_model", 16)
-        cfg.set("model.BaselineCLS.n_heads", 2)
-        cfg.set("model.BaselineCLS.n_layers", 1)
-        cfg.set("model.BaselineCLS.dropout", 0.0)
+        cfg = _tiny_cls_config()
         cfg.set("model.BaselineCLS.lr", 0.0)
-        cfg.set("train.compute_dtype", "float32")
         cfg.set("train.plateau_factor", 0.5)
         cfg.set("train.plateau_patience", 0)
+        cfg.set("checkpoint.resume", True)  # this test is about resuming
         return cfg
 
     t1 = Trainer(BaselineCLSTask(cfg_()), cfg_(), tmp_path)
     out1 = t1.fit(Loader(), Loader(), epochs=3)
     assert t1.plateau.scale < 1.0
 
-    t2 = Trainer(BaselineCLSTask(cfg_()), cfg_(), tmp_path)  # resume=default true
+    t2 = Trainer(BaselineCLSTask(cfg_()), cfg_(), tmp_path)
     out2 = t2.fit(Loader(), Loader(), epochs=4)
     scales = [h.get("lr_scale") for h in out2["history"]]
     # first post-resume epoch continues from the reduced scale
@@ -281,25 +266,9 @@ def test_freeze_params_keeps_trunk_fixed(tmp_path):
     from applecider_tpu.models.baseline_cls import BaselineCLSTask
     from applecider_tpu.train.trainer import Trainer
 
-    rng_np = np.random.default_rng(2)
-    photometry = rng_np.normal(size=(8, 16, 7)).astype(np.float32)
-    pad = np.zeros((8, 16), bool)
-    labels = rng_np.integers(0, 5, 8).astype(np.int64)
+    Loader = _photo_loader(seed=2)
 
-    class Loader:
-        def __iter__(self):
-            yield {"data": {"photometry": photometry, "pad_mask": pad, "label": labels,
-                            "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}}
-
-        def set_epoch(self, epoch):
-            pass
-
-    cfg = load_defaults()
-    cfg.set("model.BaselineCLS.d_model", 16)
-    cfg.set("model.BaselineCLS.n_heads", 2)
-    cfg.set("model.BaselineCLS.n_layers", 1)
-    cfg.set("model.BaselineCLS.dropout", 0.0)
-    cfg.set("train.compute_dtype", "float32")
+    cfg = _tiny_cls_config()
     cfg.set("train.freeze_params", ["trunk"])
     cfg.set("checkpoint.resume", False)
     task = BaselineCLSTask(cfg)
@@ -333,25 +302,10 @@ def test_eval_with_ema_uses_shadow_weights(tmp_path):
     from applecider_tpu.models.baseline_cls import BaselineCLSTask
     from applecider_tpu.train.trainer import Trainer
 
-    rng_np = np.random.default_rng(6)
-    photometry = rng_np.normal(size=(8, 16, 7)).astype(np.float32)
-    pad = np.zeros((8, 16), bool)
-    labels = rng_np.integers(0, 5, 8).astype(np.int64)
-
-    class Loader:
-        def __iter__(self):
-            yield {"data": {"photometry": photometry, "pad_mask": pad, "label": labels,
-                            "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32)}}
-
-        def set_epoch(self, epoch):
-            pass
+    Loader = _photo_loader(seed=6)
 
     def run(eval_with_ema, workdir):
-        cfg = load_defaults()
-        cfg.set("model.BaselineCLS.d_model", 16)
-        cfg.set("model.BaselineCLS.n_heads", 2)
-        cfg.set("model.BaselineCLS.n_layers", 1)
-        cfg.set("model.BaselineCLS.dropout", 0.0)
+        cfg = _tiny_cls_config()
         cfg.set("model.BaselineCLS.lr", 0.05)  # big steps so params move far
         cfg.set("train.compute_dtype", "float32")
         cfg.set("train.ema_decay", 0.999)
