@@ -441,3 +441,47 @@ def test_astrominn_vs_src_full_scale(rng, stub_modules):
         {"params": params}, metadata, np.transpose(image, (0, 2, 3, 1)), deterministic=True
     )
     _assert_close(got, want, what="AstroMiNN full-scale MoE logits")
+
+
+def test_import_checkpoint_cli_roundtrip(tmp_path, rng):
+    """The migration CLI end-to-end: real archive BaselineCLS .pt ->
+    orbax -> restored flax logits match torch."""
+    mod = _import_ref("_archive/AppleCider/models/BaselineCLS.py", "ref_bcls_cli")
+    with cpu_patched_torch():
+        ref = mod.BaselineCLS(
+            d_model=128, n_heads=8, n_layers=4, num_classes=5, dropout=0.4, mode="photo"
+        ).eval()
+        ckpt = tmp_path / "ref.pt"
+        torch.save(ref.state_dict(), ckpt)
+
+        from applecider_tpu.utils.import_checkpoint import main as import_main
+
+        out = import_main([
+            "--model", "BaselineCLS", "--ckpt", str(ckpt),
+            "--out", str(tmp_path / "orbax"),
+        ])
+
+        import orbax.checkpoint as ocp
+
+        from applecider_tpu.config import load_defaults
+        from applecider_tpu.models.baseline_cls import BaselineCLSTask
+
+        cfg = load_defaults()
+        cfg.set("train.compute_dtype", "float32")
+        task = BaselineCLSTask(cfg)
+        x = rng.normal(size=(2, 257, 7)).astype(np.float32)
+        pad = np.zeros((2, 257), bool)
+        batch = (x, pad, np.zeros(2, np.int64))
+        target = {"params": task.init(jax.random.PRNGKey(0), batch)["params"]}
+        restored = ocp.StandardCheckpointer().restore(out, target)
+        got = task.module.apply({"params": restored["params"]}, x, pad, deterministic=True)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x), torch.from_numpy(pad)).numpy()
+    _assert_close(got, want, what="imported-checkpoint logits")
+
+    # wrong-family checkpoint -> clear SystemExit naming the problem
+    with pytest.raises(SystemExit, match="does not look like a SpectraNet"):
+        import_main([
+            "--model", "SpectraNet", "--ckpt", str(tmp_path / "ref.pt"),
+            "--out", str(tmp_path / "x"),
+        ])
