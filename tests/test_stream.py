@@ -217,3 +217,19 @@ def test_pointer_doubling_merge_flags_match_scan(rng):
         got = np.asarray(_band_group_flags(
             jnp.asarray(t_sorted), jnp.asarray(is_band), 0.5))
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial} P={P}")
+
+
+def test_median_no_sort_matches_jnp_median(rng):
+    """Bisection median == jnp.median to f32 resolution, across sizes,
+    duplicates, and scales."""
+    from applecider_tpu.infer.stream import _median_no_sort
+
+    for trial in range(20):
+        n = int(rng.integers(2, 4000))
+        scale = 10.0 ** rng.integers(-3, 4)
+        x = (rng.normal(size=n) * scale).astype(np.float32)
+        if trial % 4 == 0:
+            x[: n // 2] = x[0]  # heavy duplicates
+        got = float(_median_no_sort(jnp.asarray(x)))
+        want = float(np.median(x))
+        assert abs(got - want) <= 1e-5 * max(scale, 1.0), (trial, n, got, want)
