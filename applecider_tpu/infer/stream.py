@@ -109,15 +109,20 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
         band, valid = band[order], valid[order]
     t_sorted = jnp.where(valid, t, jnp.inf)
 
-    seg_ids = jnp.full((P,), 3 * P, dtype=jnp.int32)  # overflow bucket
+    # segment id = position of the group's START point (unique across bands,
+    # since every point belongs to one band): a P+1 segment space instead of
+    # 3P+1 — 3x smaller segment_sum and compaction sort, identical numerics
+    positions = jnp.arange(P, dtype=jnp.int32)
+    seg_ids = jnp.full((P,), P, dtype=jnp.int32)  # overflow for invalid
     for b in range(N_BANDS):
         is_b = valid & (band == b)
         flags = _band_group_flags(t_sorted, is_b, dt_days)
-        gid = jnp.cumsum(flags.astype(jnp.int32)) - 1
-        seg_ids = jnp.where(is_b, b * P + gid, seg_ids)
+        marker = jnp.where(flags, positions, -1)
+        latest_start = jax.lax.associative_scan(jnp.maximum, marker)
+        seg_ids = jnp.where(is_b, latest_start, seg_ids)
 
     w = jnp.where(valid, 1.0 / (err + eps), 0.0)
-    num_segments = 3 * P + 1
+    num_segments = P + 1
     seg = partial(jax.ops.segment_sum, segment_ids=seg_ids, num_segments=num_segments)
     wsum = seg(w)
     cnt = seg(valid.astype(jnp.float32))
@@ -125,8 +130,9 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
     t_m = seg(w * t) / safe
     f_m = seg(w * flux) / safe
     e_m = seg(w * err) / safe
-    seg_valid = cnt > 0
-    seg_band = (jnp.arange(num_segments) // P).astype(jnp.int32)
+    seg_valid = (cnt > 0) & (jnp.arange(num_segments) < P)  # drop overflow
+    # the segment's band is the band of its start point
+    seg_band = jnp.concatenate([band.astype(jnp.int32), jnp.zeros(1, jnp.int32)])
 
     # compact: sort segments by time (invalid -> +inf), keep first P
     key = jnp.where(seg_valid, t_m, jnp.inf)
