@@ -109,3 +109,53 @@ def test_to_tensor_fusion():
     out = AppleCiderTask.to_tensor(data)
     assert out[3].shape == (2, 63, 63, 3)
     assert out[5].tolist() == [0, 3]
+
+
+def test_fusion_with_tripool_encoder_trains(tmp_path, rng):
+    """model.AppleCider.spectra_encoder='tripool' (LN mode) trains end-to-end
+    through the Trainer."""
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.models.fusion import AppleCiderTask
+    from applecider_tpu.train.trainer import Trainer
+
+    cfg = load_defaults()
+    for k, v in {
+        "model.BaselineCLS.d_model": 16, "model.BaselineCLS.n_heads": 2,
+        "model.BaselineCLS.n_layers": 1, "model.BaselineCLS.dropout": 0.0,
+        "model.AppleCider.spectra_encoder": "tripool",
+        "model.SpectraNetTriPool.channels": [4, 8],
+        "model.SpectraNetTriPool.depths": [1, 1],
+        "model.AstroMiNN.backbone_depths": [1, 1],
+        "model.AstroMiNN.backbone_dims": [8, 16],
+        "train.compute_dtype": "float32",
+        "checkpoint.resume": False,
+    }.items():
+        cfg.set(k, v)
+    task = AppleCiderTask(cfg)
+    task.module = task.module.copy(
+        spectra_encoder=task.module.spectra_encoder.copy(
+            kernel_sizes_per_stage=((3, 7, 15), (3, 5, 7))
+        )
+    )
+
+    n = 8
+    batch_data = {
+        "photometry": rng.normal(size=(n, 24, 7)).astype(np.float32),
+        "pad_mask": np.zeros((n, 24), bool),
+        "metadata": rng.normal(size=(n, 24)).astype(np.float32),
+        "image": rng.normal(size=(n, 63, 63, 3)).astype(np.float32),
+        "spectrum": rng.normal(size=(n, 256)).astype(np.float32),
+        "label": rng.integers(0, 5, n).astype(np.int64),
+        "mean": np.zeros(4, np.float32), "std": np.ones(4, np.float32),
+    }
+
+    class Loader:
+        def __iter__(self):
+            yield {"data": batch_data}
+
+        def set_epoch(self, epoch):
+            pass
+
+    out = Trainer(task, cfg, tmp_path).fit(Loader(), epochs=2)
+    losses = [h["train_loss"] for h in out["history"]]
+    assert np.isfinite(losses).all() and losses[1] < losses[0]
