@@ -27,12 +27,33 @@ from jax import lax
 FFT_KERNEL_THRESHOLD = 16
 
 # How much slower one FFT-path FLOP is than one direct-conv (MXU) FLOP.
-# The (3, 32, 6) constants below reproduce the measured direct-vs-FFT
-# winner at all 18 benchmarked (shape, batch) points on the CPU image
-# (bench_kernels.py + mid-K/batch sweeps; mean |log pred/meas| = 0.41).
-# Re-calibrate the penalty per platform via env ACFFT_PENALTY once TPU
-# numbers land.
-FFT_COST_PENALTY = float(os.environ.get("ACFFT_PENALTY", "6.0"))
+# Platform-conditional defaults (env ACFFT_PENALTY overrides both):
+#   cpu: 6.0 — reproduces the measured direct-vs-FFT winner at all 18
+#        benchmarked (shape, batch) points on this image (bench_kernels.py
+#        + mid-K/batch sweeps; mean |log pred/meas| = 0.41).
+#   tpu: 30.0 — conservative prior from the MXU-vs-VPU throughput ratio
+#        (direct conv runs on the 197-TFLOP/s systolic array, FFT butterflies
+#        on the vector unit); keeps the direct path except where the FLOP
+#        reduction is overwhelming (K>=1021 banks), until an on-chip
+#        calibration (scripts/tpu_decision_pass.sh) lands a measured value.
+# Resolved lazily so importing this module never touches the jax backend
+# (a wedged TPU tunnel would hang import-time backend init).
+_PENALTY_DEFAULTS = {"cpu": 6.0, "tpu": 30.0}
+_penalty_cache: float | None = None
+
+
+def _fft_cost_penalty() -> float:
+    global _penalty_cache
+    env = os.environ.get("ACFFT_PENALTY")
+    if env is not None:
+        return float(env)
+    if _penalty_cache is None:
+        try:
+            backend = jax.default_backend()
+        except Exception:  # backend init failure -> conservative CPU prior
+            backend = "cpu"
+        _penalty_cache = _PENALTY_DEFAULTS.get(backend, _PENALTY_DEFAULTS["tpu"])
+    return _penalty_cache
 _FFT_ACT_C = 3.0   # per-point n*log2(n) cost of activation rfft/irfft
 _FFT_KER_C = 32.0  # same for the kernel rfft (cin*cout transforms). The
 #                    kernel is a traced input, so its FFT re-runs every
@@ -67,7 +88,7 @@ def _fft_wins(L: int, K: int, cin: int, cout: int, batch: int = 64) -> bool:
             + rfft/irfft of activations ((cin + cout) transforms)
             + rfft of the kernel (cin*cout transforms, amortized over the
               batch),
-    scaled by FFT_COST_PENALTY for the platform's FFT inefficiency.
+    scaled by ``_fft_cost_penalty()`` for the platform's FFT inefficiency.
     """
     if K < FFT_KERNEL_THRESHOLD:
         return False
@@ -80,7 +101,7 @@ def _fft_wins(L: int, K: int, cin: int, cout: int, batch: int = 64) -> bool:
         else _FFT_KER_C * nlg * cin * cout / max(batch, 1)
     )
     fft = 8.0 * nf * cin * cout + _FFT_ACT_C * nlg * (cin + cout) + kernel_term
-    return fft * FFT_COST_PENALTY < direct
+    return fft * _fft_cost_penalty() < direct
 
 
 def conv1d_direct(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> jax.Array:

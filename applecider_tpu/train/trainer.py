@@ -80,12 +80,23 @@ class Trainer:
             )
         self._train_step = None
         self._eval_step = None
+        # identity of task.batch_stats at jit-build time: the stats are a
+        # trace-time constant inside the cached closures, so replacing them
+        # (second fit(), checkpoint import) must invalidate the cached steps
+        self._steps_stats_token = object()
         self._log_file = self.workdir / "metrics.jsonl"
 
         ema_decay = float(config.get_path("train.ema_decay", default=0.0))
         self.ema = EMA(ema_decay) if ema_decay > 0 else None
 
     # ------------------------------------------------------------- jit steps
+    def _invalidate_steps_if_stats_changed(self):
+        stats = getattr(self.task, "batch_stats", None)
+        if stats is not self._steps_stats_token:
+            self._train_step = None
+            self._eval_step = None
+            self._steps_stats_token = stats
+
     def _build_train_step(self):
         task, tx = self.task, self.tx
         loss_fn = task.loss_fn
@@ -134,17 +145,27 @@ class Trainer:
     def _ckpt_dir(self) -> Path:
         return self.workdir / "checkpoints"
 
-    def save_checkpoint(self, state: TrainState, epoch: int, tag: str = "last"):
+    def save_checkpoint(self, state: TrainState, epoch: int, tag: str = "last",
+                        params_override=None):
+        """``params_override``: store these weights as the checkpoint's
+        ``params`` (used for the best checkpoint when validation ran on EMA
+        shadow weights — the stored model must be the one that produced the
+        logged metric)."""
         import orbax.checkpoint as ocp
 
         path = (self._ckpt_dir() / f"{tag}").absolute()
         ckptr = ocp.StandardCheckpointer()
         payload = {
-            "params": state.params,
+            "params": params_override if params_override is not None else state.params,
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
             "epoch": np.asarray(epoch),
         }
+        if self.ema is not None and self.ema.shadow is not None:
+            # the shadow must survive resume: EMA restarted from raw params
+            # would need ~1/(1-decay) steps to re-converge, and the 'best'
+            # metric was measured on it
+            payload["ema"] = self.ema.shadow
         if self.plateau is not None:
             # host-side scheduler state must survive resume, or the reduced
             # LR scale snaps back to 1.0 on the first post-resume epoch
@@ -178,14 +199,36 @@ class Trainer:
         batch_stats = getattr(self.task, "batch_stats", None)
         if batch_stats:
             target["batch_stats"] = batch_stats
+        if self.ema is not None:
+            target["ema"] = init_state.params
+        optional = [k for k in ("plateau", "batch_stats", "ema") if k in target]
         try:
             restored = ckptr.restore(path, target)
-        except Exception:
-            if "plateau" not in target and "batch_stats" not in target:
+        except Exception as e:
+            if not optional:
                 raise
-            # older checkpoint without the optional host-state entries
-            target.pop("plateau", None)
-            target.pop("batch_stats", None)
+            # Retry against the legacy layout (checkpoint written before the
+            # optional host-state entries existed). Only a *structure*
+            # mismatch justifies the retry; anything else (corrupt file,
+            # shape mismatch inside params) must not be silently converted
+            # into a fresh-state resume.
+            msg = str(e)
+            structural = any(
+                s in msg for s in ("structure", "Structure", "not found", "No such",
+                                   "KeyError", "missing", "Missing", "diff")
+            ) or isinstance(e, (KeyError, FileNotFoundError))
+            if not structural:
+                raise
+            import warnings
+
+            warnings.warn(
+                f"checkpoint at {path} lacks optional entries {optional} "
+                f"(legacy layout?); retrying without them. Original error: "
+                f"{type(e).__name__}: {msg[:200]}",
+                stacklevel=2,
+            )
+            for k in optional:
+                target.pop(k, None)
             restored = ckptr.restore(path, target)
         if self.plateau is not None and "plateau" in restored:
             best, bad, scale = (float(v) for v in restored["plateau"])
@@ -194,6 +237,8 @@ class Trainer:
             self.plateau.scale = scale
         if "batch_stats" in restored:
             self.task.batch_stats = restored["batch_stats"]
+        if self.ema is not None and "ema" in restored:
+            self.ema.shadow = restored["ema"]
         state = TrainState(restored["params"], restored["opt_state"], int(restored["step"]))
         return state, int(restored["epoch"]) + 1
 
@@ -225,10 +270,14 @@ class Trainer:
 
         state.params = replicate(state.params, self.mesh)
         state.opt_state = replicate(state.opt_state, self.mesh)
+        self._invalidate_steps_if_stats_changed()
         if self._train_step is None:
             self._train_step = self._build_train_step()
         if self.ema is not None:
-            self.ema.init(state.params)
+            if self.ema.shadow is None:  # a resumed shadow must NOT be reset
+                self.ema.init(state.params)
+            else:
+                self.ema.shadow = replicate(self.ema.shadow, self.mesh)
 
         stopper = EarlyStopping(patience)
         best_metric = -np.inf
@@ -260,19 +309,22 @@ class Trainer:
             if val_loader is not None:
                 # reference EMA recipe (train_utils.py:17-45 apply_shadow):
                 # validate with the shadow weights when EMA is enabled
-                eval_params = (
-                    self.ema.params()
-                    if self.ema is not None
-                    and bool(self.config.get_path("train.eval_with_ema", default=True))
-                    else state.params
+                ema_eval = self.ema is not None and bool(
+                    self.config.get_path("train.eval_with_ema", default=True)
                 )
+                eval_params = self.ema.params() if ema_eval else state.params
                 val = self.evaluate(eval_params, val_loader)
                 record.update({f"val_{k}": v for k, v in val.items()
                                if isinstance(v, (int, float, np.floating))})
                 monitor = val.get("accuracy", -val.get("loss", 0.0))
                 if monitor > best_metric:
                     best_metric = monitor
-                    self.save_checkpoint(state, epoch, tag="best")
+                    # the best checkpoint stores the weights that PRODUCED the
+                    # monitored metric — the EMA shadow when it was validated
+                    self.save_checkpoint(
+                        state, epoch, tag="best",
+                        params_override=eval_params if ema_eval else None,
+                    )
                 should_stop = stopper.step(val.get("loss", train_loss))
                 if self.plateau is not None:
                     scale = self.plateau.step(val.get("loss", train_loss))
@@ -296,6 +348,7 @@ class Trainer:
     # ------------------------------------------------------------- evaluate
     def evaluate(self, params, loader) -> dict:
         params = replicate(params, self.mesh)
+        self._invalidate_steps_if_stats_changed()
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
         probs, labels, losses, sizes = [], [], [], []

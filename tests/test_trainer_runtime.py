@@ -80,6 +80,44 @@ def test_checkpoint_resume(prepared, tmp_path):
     assert moved > 0
 
 
+def test_ema_shadow_persisted_and_best_matches_validated(prepared, tmp_path):
+    """With eval_with_ema, the 'best' checkpoint must store the EMA shadow
+    (the weights that produced the logged val metric) and resume must
+    restore the shadow instead of resetting it from raw params."""
+    import jax
+
+    from applecider_tpu.train.trainer import Trainer, TrainState
+
+    rt = _runtime(prepared, tmp_path, epochs=1)
+    rt.set_config("train.ema_decay", 0.5)
+    rt.prepare()
+    task = rt._task()
+    loader = rt._loader(rt.datasets["train"], shuffle=False)
+    wd = tmp_path / "emarun"
+    trainer = Trainer(task, rt.config, wd)
+    res = trainer.fit(loader, val_loader=loader, epochs=1)
+
+    leaf = lambda p: np.asarray(p["trunk"]["in_proj"]["kernel"])  # noqa: E731
+    raw = leaf(res["state"].params)
+    shadow = leaf(trainer.ema.shadow)
+    assert np.abs(raw - shadow).max() > 0  # EMA lags raw weights
+
+    # best checkpoint == shadow, not raw
+    fresh = TrainState(res["state"].params, trainer.tx.init(res["state"].params))
+    best, _ = trainer.restore_checkpoint(fresh, tag="best")
+    np.testing.assert_allclose(leaf(best.params), shadow, rtol=0, atol=0)
+
+    # resume in a fresh Trainer restores the shadow (no reset to raw)
+    task2 = rt._task()
+    batch0 = task2.to_tensor(next(iter(loader)))
+    variables = task2.init(jax.random.PRNGKey(0), batch0)
+    trainer2 = Trainer(task2, rt.config, wd)
+    fresh2 = TrainState(variables["params"], trainer2.tx.init(variables["params"]))
+    trainer2.restore_checkpoint(fresh2, tag="last")
+    assert trainer2.ema.shadow is not None
+    np.testing.assert_allclose(leaf(trainer2.ema.shadow), shadow, rtol=0, atol=0)
+
+
 def test_export_engine_roundtrip(prepared, tmp_path):
     rt = _runtime(prepared, tmp_path, epochs=1)
     rt.train()
