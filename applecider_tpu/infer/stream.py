@@ -391,30 +391,63 @@ def pack_alert_batch(
         "photo_err": np.ones((B, max_photo), np.float32),
         "photo_band": np.zeros((B, max_photo), np.int32),
         "photo_valid": np.zeros((B, max_photo), bool),
-        "image": np.zeros((B, *img_shape), np.float32),
-        "meta19": np.zeros((B, 19), np.float32),
+        "meta19": np.empty((B, 19), np.float32),
         "spec_wl": np.zeros((B, max_spec), np.float32),
         "spec_flux": np.zeros((B, max_spec), np.float32),
         "spec_valid": np.zeros((B, max_spec), bool),
         "has_spectrum": np.zeros((B,), bool),
     }
-    for i, s in enumerate(samples):
-        t = np.asarray(s["photo_t"], np.float32)
-        order = np.argsort(t, kind="stable")[:max_photo]
-        n = len(order)
-        out["photo_t"][i, :n] = t[order]
-        out["photo_flux"][i, :n] = np.asarray(s["photo_flux"], np.float32)[order]
-        out["photo_err"][i, :n] = np.asarray(s["photo_err"], np.float32)[order]
-        out["photo_band"][i, :n] = np.asarray(s["photo_band"], np.int32)[order]
-        out["photo_valid"][i, :n] = True
-        out["image"][i] = s["image"]
-        out["meta19"][i] = s["meta19"]
-        if "spec_wl" in s and s["spec_wl"] is not None and len(s["spec_wl"]) >= 2:
-            wl = np.asarray(s["spec_wl"], np.float32)[:max_spec]
-            fx = np.asarray(s["spec_flux"], np.float32)[:max_spec]
-            m = len(wl)
-            out["spec_wl"][i, :m] = wl
-            out["spec_flux"][i, :m] = fx
-            out["spec_valid"][i, :m] = True
-            out["has_spectrum"][i] = True
+    if not samples:
+        out["image"] = np.zeros((0, *img_shape), np.float32)
+        return out
+
+    # ---- photometry: flat-concat -> one lexsort -> one scatter per column.
+    # The per-sample argsort loop this replaces measured ~3.9k alerts/s on
+    # this host (below the 10k north star on its own); bulk numpy ops over
+    # the concatenated stream keep the Python cost O(B) tiny-list appends
+    # instead of O(B) array round-trips.
+    lens = np.fromiter((len(s["photo_t"]) for s in samples), np.int64, count=B)
+    t_all = np.concatenate([np.asarray(s["photo_t"], np.float32) for s in samples])
+    sid = np.repeat(np.arange(B, dtype=np.int64), lens)
+    # stable sort by (sample, time): groups stay contiguous, times ascend
+    order = np.lexsort((t_all, sid))
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    col = np.arange(t_all.shape[0], dtype=np.int64) - np.repeat(starts, lens)
+    keep = col < max_photo  # truncate overlong light curves (keep earliest)
+    rows, cols = sid[keep], col[keep]
+    src = order[keep]
+    out["photo_t"][rows, cols] = t_all[src]
+    f_all = np.concatenate([np.asarray(s["photo_flux"], np.float32) for s in samples])
+    e_all = np.concatenate([np.asarray(s["photo_err"], np.float32) for s in samples])
+    b_all = np.concatenate([np.asarray(s["photo_band"], np.int32) for s in samples])
+    out["photo_flux"][rows, cols] = f_all[src]
+    out["photo_err"][rows, cols] = e_all[src]
+    out["photo_band"][rows, cols] = b_all[src]
+    out["photo_valid"][rows, cols] = True
+
+    # ---- dense per-sample tensors: one C-level stack each
+    out["image"] = np.stack([s["image"] for s in samples]).astype(np.float32, copy=False)
+    out["meta19"] = np.stack([s["meta19"] for s in samples]).astype(np.float32, copy=False)
+
+    # ---- spectra (sparse: only samples that carry one)
+    spec_idx = [i for i, s in enumerate(samples)
+                if s.get("spec_wl") is not None and len(s.get("spec_wl", ())) >= 2]
+    if spec_idx:
+        slens = np.fromiter(
+            (min(len(samples[i]["spec_wl"]), max_spec) for i in spec_idx),
+            np.int64, count=len(spec_idx),
+        )
+        wl_all = np.concatenate(
+            [np.asarray(samples[i]["spec_wl"], np.float32)[:max_spec] for i in spec_idx]
+        )
+        fx_all = np.concatenate(
+            [np.asarray(samples[i]["spec_flux"], np.float32)[:max_spec] for i in spec_idx]
+        )
+        srows = np.repeat(np.asarray(spec_idx, np.int64), slens)
+        sstarts = np.concatenate([[0], np.cumsum(slens)[:-1]])
+        scols = np.arange(wl_all.shape[0], dtype=np.int64) - np.repeat(sstarts, slens)
+        out["spec_wl"][srows, scols] = wl_all
+        out["spec_flux"][srows, scols] = fx_all
+        out["spec_valid"][srows, scols] = True
+        out["has_spectrum"][np.asarray(spec_idx)] = True
     return out

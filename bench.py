@@ -1,12 +1,15 @@
 """Benchmark: ZTF alerts/sec/chip, END-TO-END preprocess + 4-modality fusion.
 
-Headline metric (BASELINE.md:21-22): alerts/sec/chip for the full device
-pipeline — light-curve merge + event featurization + spectra resample +
-fusion forward (``applecider_tpu.infer.stream.AlertStreamPipeline``) —
-fed from host-packed raw alert batches, at the best batch size of a sweep.
-Secondary fields: model-only forward throughput, host packing rate, native
-FITS-stamp decode rate, honest p50 per-alert e2e latency (pack one alert +
-pipeline + block), and an MFU estimate from XLA cost analysis.
+Headline metric (BASELINE.md:21-22): SUSTAINED alerts/sec/chip for the
+joint pipeline — host packing of ragged raw samples INSIDE the timed loop,
+overlapped with the async device dispatch of light-curve merge + event
+featurization + spectra resample + fusion forward
+(``applecider_tpu.infer.stream.AlertStreamPipeline``). Secondary fields:
+device-only pipeline rate (pre-packed batches), model-only forward
+throughput, host packing rate, native FITS-stamp decode rate, honest p50
+per-alert e2e latency (pack one alert + pipeline + block) for the default
+and frozen-weights serving modes vs a 100 ms SLO, and an MFU estimate from
+XLA cost analysis.
 
 Hardened against the round-1 failure (remote TPU backend init error/hang):
 backend init runs under a watchdog thread with retries; on persistent
@@ -198,6 +201,27 @@ def run_bench(device) -> dict:
         if rate > e2e_best[0]:
             e2e_best = (rate, bs)
 
+    # ---- SUSTAINED joint pipeline (the headline): raw ragged samples in,
+    # probabilities out, with host packing INSIDE the timed loop. jax
+    # dispatch is async, so pack(i+1) runs on the host while the device
+    # executes batch i — the measured rate is min(host, device) plus
+    # whatever overlap hides, i.e. what a production feeder sustains.
+    sus_bs = e2e_best[1] or (sweep[0] if sweep else 64)
+    n_sets = 4
+    sample_sets = [make_stream_samples(sus_bs, seed=10 + j) for j in range(n_sets)]
+    warm_raws = [pack_alert_batch(s, length_buckets=BUCKETS) for s in sample_sets]
+    for r in warm_raws:  # pre-compile every bucket these sets land in
+        _block(pipe(params, r))
+    iters = 24 if on_tpu else 4
+    raw = warm_raws[0]
+    t0 = time.perf_counter()
+    out = None
+    for i in range(iters):
+        out = pipe(params, raw)  # async device dispatch
+        raw = pack_alert_batch(sample_sets[(i + 1) % n_sets], length_buckets=BUCKETS)
+    _block(out)
+    sustained = sus_bs * iters / (time.perf_counter() - t0)
+
     # ---- honest p50 per-alert latency: pack ONE alert + pipeline + block
     single_samples = make_stream_samples(40, seed=3)
     # pre-compile exactly the buckets these single alerts will land in
@@ -213,6 +237,24 @@ def run_bench(device) -> dict:
         _block(pipe(params, pack_alert_batch([s], length_buckets=BUCKETS)))
         lat.append(time.perf_counter() - t1)
     p50_ms = float(np.median(lat) * 1e3)
+
+    # ---- frozen-serving p50: weights baked into the executable as constants
+    # (param-only subgraphs constant-fold; kernel FFTs precompute). One fixed
+    # 257 shape to bound compile cost. TPU-only by default: the ~138MB
+    # executable is hostile to the CPU image's memory and the compile relay.
+    p50_frozen_ms = None
+    if (on_tpu or os.environ.get("BENCH_FROZEN") == "1") and not over_budget():
+        try:
+            frozen_pipe = AlertStreamPipeline(task, freeze_params_with=params)
+            _block(frozen_pipe(pack_alert_batch(single_samples[:1])))  # compile
+            flat = []
+            for s in single_samples:
+                t1 = time.perf_counter()
+                _block(frozen_pipe(pack_alert_batch([s])))
+                flat.append(time.perf_counter() - t1)
+            p50_frozen_ms = float(np.median(flat) * 1e3)
+        except Exception:
+            p50_frozen_ms = None
 
     # ---- native FITS stamp decode column (host plane)
     decode_rate = None
@@ -237,18 +279,24 @@ def run_bench(device) -> dict:
         peak = next((v for k, v in PEAK_TFLOPS.items() if k in kind), PEAK_TFLOPS["v5e"])
         mfu_pct = round(100.0 * flops * model_best[0] / (peak * 1e12), 2)
 
-    value = e2e_best[0]
+    # headline = the sustained joint pipeline (host pack IN the timed loop):
+    # the number a production feeder actually sees, per VERDICT r2 weak #1
+    value = sustained
     payload = {
-        "metric": "alerts/sec/chip, e2e preprocess + 4-modality fusion inference",
+        "metric": "alerts/sec/chip, SUSTAINED e2e: host pack + preprocess + 4-modality fusion",
         "value": round(value, 1),
         "unit": "alerts/sec/chip",
         "vs_baseline": round(value / BASELINE_ALERTS_PER_SEC, 3),
-        "e2e_batch_size": e2e_best[1],
+        "sustained_batch_size": sus_bs,
+        "device_pipeline_alerts_per_sec": round(e2e_best[0], 1),
+        "device_pipeline_batch_size": e2e_best[1],
         "model_only_alerts_per_sec": round(model_best[0], 1),
         "model_only_batch_size": model_best[1],
         "host_pack_alerts_per_sec": round(pack_rate, 1),
         "native_fits_decode_alerts_per_sec": round(decode_rate, 1) if decode_rate else None,
         "p50_single_alert_e2e_ms": round(p50_ms, 3),
+        "p50_single_alert_frozen_ms": round(p50_frozen_ms, 3) if p50_frozen_ms else None,
+        "latency_slo_ms": 100.0,  # stated target: p50 single-alert e2e on TPU
         "flops_per_alert": round(flops, 0) if flops else None,
         "mfu_pct_model_only": mfu_pct,
         "compile_seconds": round(compile_s, 1),
@@ -297,7 +345,7 @@ def main():
             _emit(payload)
         else:
             _emit({
-                "metric": "alerts/sec/chip, e2e preprocess + 4-modality fusion inference",
+                "metric": "alerts/sec/chip, SUSTAINED e2e: host pack + preprocess + 4-modality fusion",
                 "value": 0.0, "unit": "alerts/sec/chip", "vs_baseline": 0.0,
                 "error": f"{err}; {child_err}",
             })
@@ -316,7 +364,7 @@ def main():
         _emit(payload)
     except Exception as e:  # noqa: BLE001 — the JSON line must always appear
         _emit({
-            "metric": "alerts/sec/chip, e2e preprocess + 4-modality fusion inference",
+            "metric": "alerts/sec/chip, SUSTAINED e2e: host pack + preprocess + 4-modality fusion",
             "value": 0.0, "unit": "alerts/sec/chip", "vs_baseline": 0.0,
             "error": f"{type(e).__name__}: {e}",
             "traceback_tail": traceback.format_exc().splitlines()[-3:],
