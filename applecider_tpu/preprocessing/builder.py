@@ -230,7 +230,16 @@ def build_all_preprocessed(cfg: PreprocessConfig):
         for row in avail.itertuples(index=False)
     ]
     if cfg.num_workers and cfg.num_workers > 1:
-        with ProcessPoolExecutor(max_workers=cfg.num_workers) as pool:
+        # spawn, not fork: the parent process has jax imported (multithreaded),
+        # and os.fork() under live threads is a documented deadlock hazard —
+        # the suite used to emit RuntimeWarning("os.fork() is incompatible
+        # with multithreaded code") here. Workers re-import this module; the
+        # job tuples are all picklable plain data.
+        import multiprocessing as mp
+
+        with ProcessPoolExecutor(
+            max_workers=cfg.num_workers, mp_context=mp.get_context("spawn")
+        ) as pool:
             results = list(pool.map(_build_one, jobs))
     else:
         results = [_build_one(j) for j in jobs]

@@ -150,10 +150,33 @@ class AppleCiderRuntime:
         def infer_fn(params, *batch):
             return task.predict(params, batch)
 
-        exported = jax.export.export(jax.jit(infer_fn))(
-            params, *[jax.ShapeDtypeStruct(np.asarray(b).shape, np.asarray(b).dtype)
-                      for b in batch0]
-        )
+        # Prefer a SYMBOLIC batch dimension: the exported artifact then
+        # serves any batch size (in particular a dataset tail that isn't
+        # divisible by batch_size). Models whose lowering can't be made
+        # batch-polymorphic fall back to concrete shapes; engine() pads
+        # the tail batch for those (export_meta.json records which).
+        arrs = [np.asarray(b) for b in batch0]
+        meta = {"batch_size": int(arrs[0].shape[0])}
+        try:
+            scope = jax.export.SymbolicScope()
+            sym_args = [
+                jax.ShapeDtypeStruct(
+                    jax.export.symbolic_shape(
+                        ", ".join(["b"] + [str(d) for d in a.shape[1:]]), scope=scope
+                    ),
+                    a.dtype,
+                )
+                for a in arrs
+            ]
+            exported = jax.export.export(jax.jit(infer_fn))(params, *sym_args)
+            meta["symbolic_batch"] = True
+        except Exception as e:  # noqa: BLE001 — fall back to concrete shapes
+            exported = jax.export.export(jax.jit(infer_fn))(
+                params, *[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrs]
+            )
+            meta["symbolic_batch"] = False
+            meta["symbolic_error"] = f"{type(e).__name__}: {e}"
+        (out_path / "export_meta.json").write_text(json.dumps(meta))
         (out_path / "model.stablehlo").write_bytes(exported.serialize())
 
         import orbax.checkpoint as ocp
@@ -182,5 +205,28 @@ class AppleCiderRuntime:
         ckptr = ocp.StandardCheckpointer()
         params = ckptr.restore((export_dir / "params").absolute(), variables["params"])
 
-        outs = [np.asarray(exported.call(params, *task.to_tensor(b))) for b in loader]
+        meta_file = export_dir / "export_meta.json"
+        meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+        symbolic = bool(meta.get("symbolic_batch", False))
+        export_bs = meta.get("batch_size")
+
+        def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+            # repeat the last row to fill — padding rows are sliced off below
+            reps = np.repeat(x[-1:], n - x.shape[0], axis=0)
+            return np.concatenate([x, reps], axis=0)
+
+        outs = []
+        for b in loader:
+            batch = tuple(np.asarray(x) for x in task.to_tensor(b))
+            n = batch[0].shape[0]
+            if not symbolic and export_bs and n != export_bs:
+                if n > export_bs:
+                    raise ValueError(
+                        f"batch of {n} exceeds the exported concrete batch size "
+                        f"{export_bs}; re-export or lower data_loader.batch_size"
+                    )
+                padded = tuple(_pad_to(x, export_bs) for x in batch)
+                outs.append(np.asarray(exported.call(params, *padded))[:n])
+            else:
+                outs.append(np.asarray(exported.call(params, *batch)))
         return np.concatenate(outs)

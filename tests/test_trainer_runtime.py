@@ -126,3 +126,21 @@ def test_export_engine_roundtrip(prepared, tmp_path):
     direct = rt.infer()
     via_engine = rt.engine(export_dir)
     np.testing.assert_allclose(via_engine, direct, atol=1e-5)
+
+
+def test_export_engine_ragged_tail_batch(prepared, tmp_path):
+    """Dataset size NOT divisible by batch_size: the final short batch must
+    flow through engine() (symbolic batch dim, or pad-and-slice fallback)."""
+    import json as _json
+
+    rt = _runtime(prepared, tmp_path, epochs=1)
+    rt.set_config("data_loader.batch_size", 5)  # 8 rows -> batches of 5 and 3
+    rt.prepare()
+    rt.train()
+    export_dir = rt.export()
+    meta = _json.loads((export_dir / "export_meta.json").read_text())
+    assert meta["batch_size"] == 5
+    direct = rt.infer()
+    via_engine = rt.engine(export_dir)
+    assert via_engine.shape == direct.shape  # includes the 3-row tail
+    np.testing.assert_allclose(via_engine, direct, atol=1e-5)
