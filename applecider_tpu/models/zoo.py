@@ -338,6 +338,188 @@ class SpectraViT(nn.Module):
         return h.astype(jnp.float32)
 
 
+# ------------------------------------------------------- EfficientNetV2
+class _SqueezeExcite(nn.Module):
+    """SE gate: global-pool -> 1x1 reduce (silu) -> 1x1 expand (sigmoid)."""
+
+    reduced: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.silu(Conv2dTorch(self.reduced, 1, dtype=self.dtype, name="reduce")(s))
+        s = nn.sigmoid(Conv2dTorch(x.shape[-1], 1, dtype=self.dtype, name="expand")(s))
+        return x * s
+
+
+class _MBConvBlock(nn.Module):
+    """EfficientNetV2 block: fused-MBConv (early stages) or MBConv+SE.
+
+    BatchNorm uses running statistics when ``deterministic`` (inference);
+    training updates them through the mutable ``batch_stats`` collection.
+    """
+
+    out_ch: int
+    expand: int
+    kernel: int
+    stride: int
+    se_ratio: float
+    fused: bool
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        cin = x.shape[-1]
+        mid = cin * self.expand
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=deterministic, momentum=0.9, epsilon=1e-3,
+                dtype=self.dtype, name=name,
+            )
+
+        h = x
+        if self.fused:
+            if self.expand != 1:
+                h = Conv2dTorch(mid, self.kernel, stride=self.stride,
+                                padding=self.kernel // 2, dtype=self.dtype,
+                                name="expand_conv")(h)
+                h = nn.silu(bn("bn0")(h))
+                h = Conv2dTorch(self.out_ch, 1, dtype=self.dtype, name="project_conv")(h)
+                h = bn("bn1")(h)  # no activation after projection
+            else:
+                h = Conv2dTorch(self.out_ch, self.kernel, stride=self.stride,
+                                padding=self.kernel // 2, dtype=self.dtype,
+                                name="project_conv")(h)
+                h = nn.silu(bn("bn1")(h))
+        else:
+            if self.expand != 1:
+                h = Conv2dTorch(mid, 1, dtype=self.dtype, name="expand_conv")(h)
+                h = nn.silu(bn("bn0")(h))
+            h = Conv2dTorch(mid, self.kernel, stride=self.stride,
+                            padding=self.kernel // 2, groups=mid, dtype=self.dtype,
+                            name="dw_conv")(h)
+            h = nn.silu(bn("bn1")(h))
+            if self.se_ratio > 0:
+                h = _SqueezeExcite(max(1, int(cin * self.se_ratio)),
+                                   dtype=self.dtype, name="se")(h)
+            h = Conv2dTorch(self.out_ch, 1, dtype=self.dtype, name="project_conv")(h)
+            h = bn("bn2")(h)
+        if self.stride == 1 and cin == self.out_ch:
+            h = h + x  # identity residual (stochastic depth off, eval parity)
+        return h
+
+
+# stage specs: (fused, expand, kernel, stride, channels, blocks, se_ratio)
+EFFNETV2_ARCHS: dict = {
+    "l": (32, (
+        (True, 1, 3, 1, 32, 4, 0.0), (True, 4, 3, 2, 64, 7, 0.0),
+        (True, 4, 3, 2, 96, 7, 0.0), (False, 4, 3, 2, 192, 10, 0.25),
+        (False, 6, 3, 1, 224, 19, 0.25), (False, 6, 3, 2, 384, 25, 0.25),
+        (False, 6, 3, 1, 640, 7, 0.25),
+    )),
+    # what the reference *actually* loads: its class is named ...V2L but the
+    # timm tag is tf_efficientnetv2_m (SpectraEfficientNetV2L.py:12)
+    "m": (24, (
+        (True, 1, 3, 1, 24, 3, 0.0), (True, 4, 3, 2, 48, 5, 0.0),
+        (True, 4, 3, 2, 80, 5, 0.0), (False, 4, 3, 2, 160, 7, 0.25),
+        (False, 6, 3, 1, 176, 14, 0.25), (False, 6, 3, 2, 304, 18, 0.25),
+        (False, 6, 3, 1, 512, 5, 0.25),
+    )),
+    # CPU-testable miniature with one stage of each block kind
+    "tiny": (8, (
+        (True, 1, 3, 1, 8, 1, 0.0), (True, 2, 3, 2, 16, 1, 0.0),
+        (False, 2, 3, 2, 16, 2, 0.25),
+    )),
+}
+
+
+class EfficientNetV2(nn.Module):
+    """EfficientNetV2 feature backbone (stem -> staged blocks -> 1x1 head).
+
+    Returns pooled (B, head_features) embeddings, i.e. timm's
+    ``num_classes=0`` behavior the reference relies on.
+    """
+
+    arch: str = "m"
+    head_features: int = 1280
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        stem_ch, stages = EFFNETV2_ARCHS[self.arch]
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=deterministic, momentum=0.9, epsilon=1e-3,
+                dtype=self.dtype, name=name,
+            )
+
+        x = Conv2dTorch(stem_ch, 3, stride=2, padding=1, dtype=self.dtype,
+                        name="stem_conv")(x)
+        x = nn.silu(bn("stem_bn")(x))
+        for si, (fused, expand, k, stride, ch, blocks, se) in enumerate(stages):
+            for bi in range(blocks):
+                x = _MBConvBlock(
+                    out_ch=ch, expand=expand, kernel=k,
+                    stride=stride if bi == 0 else 1, se_ratio=se, fused=fused,
+                    dtype=self.dtype, name=f"stage{si}_block{bi}",
+                )(x, deterministic=deterministic)
+        x = Conv2dTorch(self.head_features, 1, dtype=self.dtype, name="head_conv")(x)
+        x = nn.silu(bn("head_bn")(x))
+        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+
+
+@register_model(name="SpectraEfficientNetV2")
+class SpectraEfficientNetV2(nn.Module):
+    """EfficientNetV2 spectra baseline.
+
+    Reference contract (``_archive/AppleCider/models/other models/
+    SpectraEfficientNetV2L.py:5-37``): timm EfficientNetV2 backbone with the
+    classifier stripped, then Linear(s_dim) -> BatchNorm1d -> ReLU ->
+    Dropout -> Linear(256) -> BatchNorm1d -> ReLU -> Dropout, plus an
+    optional fc classification head. Reference quirks handled here: the
+    class is *named* V2-L but loads the ``tf_efficientnetv2_m`` tag (so
+    ``arch`` defaults to "m"), and it reads ``self.classification`` without
+    ever assigning it (an AttributeError on use) — here it is a proper
+    field matching the rest of the zoo's ``mode`` toggle. No pretrained
+    weights offline (the reference's ``pretrained=True`` downloads either
+    way).
+    """
+
+    arch: str = "m"
+    s_dim: int = 512
+    dropout: float = 0.3
+    num_classes: int = 9
+    classification: bool = True
+    head_features: int = 1280
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        feats = EfficientNetV2(
+            arch=self.arch, head_features=self.head_features,
+            dtype=self.dtype, name="backbone",
+        )(x, deterministic=deterministic)
+
+        def bn1d(name):
+            return nn.BatchNorm(
+                use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=name,
+            )
+
+        h = Linear(self.s_dim, dtype=self.dtype)(feats)
+        h = nn.relu(bn1d("head_bn0")(h))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Linear(256, dtype=self.dtype)(h)
+        h = nn.relu(bn1d("head_bn1")(h))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if self.classification:
+            h = Linear(self.num_classes, name="fc")(h)
+        return h.astype(jnp.float32)
+
+
 @register_model(name="SpectraConvNeXt")
 class SpectraConvNeXt(nn.Module):
     """ConvNeXt backbone spectra baseline (ConvNeXt-base dims by default)."""

@@ -127,6 +127,41 @@ def test_spectra_vit(rng):
     assert m.apply({"params": params}, x).shape == (2, 9)
 
 
+def test_spectra_efficientnetv2(rng):
+    """Shape contract for the (last) zoo baseline: classification and
+    embedding modes, BN running stats present and trainable."""
+    from applecider_tpu.models.zoo import EFFNETV2_ARCHS, SpectraEfficientNetV2
+
+    m = SpectraEfficientNetV2(arch="tiny", s_dim=16, head_features=32,
+                              num_classes=9, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables  # BN running statistics collection
+    out = m.apply(variables, x)
+    assert out.shape == (2, 9)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # embedding mode: 256-dim head output (reference classifier tail)
+    m2 = m.copy(classification=False)
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    assert m2.apply(v2, x).shape == (2, 256)
+
+    # train mode updates the running stats through the mutable collection
+    out_t, updated = m.apply(
+        variables, x, deterministic=False, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    before = np.asarray(variables["batch_stats"]["backbone"]["stem_bn"]["mean"])
+    after = np.asarray(updated["batch_stats"]["backbone"]["stem_bn"]["mean"])
+    assert np.abs(after - before).max() > 0
+
+    # the full-scale stage tables exist for both reference arches
+    assert set(EFFNETV2_ARCHS) >= {"m", "l", "tiny"}
+    for arch in ("m", "l"):
+        stem, stages = EFFNETV2_ARCHS[arch]
+        assert len(stages) == 7 and stages[-1][4] in (512, 640)
+
+
 def test_spectra_convnext(rng):
     m = SpectraConvNeXt(depths=(1, 1), dims=(8, 16), num_classes=9, dtype=jnp.float32)
     x = jnp.asarray(rng.normal(size=(2, 63, 63, 3)).astype(np.float32))
