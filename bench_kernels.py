@@ -93,6 +93,7 @@ def bench_conv(batch=64, dtype="bfloat16"):
     from applecider_tpu.ops.conv1d import conv1d_direct, conv1d_fft
 
     rng = np.random.default_rng(0)
+    rows = []
     for L, cin, cout, K in SPECTRA_STAGES:
         x = jnp.asarray(rng.normal(size=(batch, L, cin)), dtype=dtype)
         w = jnp.asarray(rng.normal(size=(K, cin, cout)) / np.sqrt(cin * K), jnp.float32)
@@ -103,6 +104,8 @@ def bench_conv(batch=64, dtype="bfloat16"):
         a = np.asarray(direct(x, w), np.float32)
         b = np.asarray(fftc(x, w), np.float32)
         denom = max(float(np.abs(a).max()), 1e-6)
+        rows.append({"L": L, "cin": cin, "cout": cout, "K": K, "batch": batch,
+                     "t_d": t_d, "t_f": t_f})
         print(json.dumps({
             "bench": "conv1d", "L": L, "cin": cin, "cout": cout, "K": K,
             "direct_us": round(t_d * 1e6, 1), "fft_us": round(t_f * 1e6, 1),
@@ -110,6 +113,64 @@ def bench_conv(batch=64, dtype="bfloat16"):
             "rel_err": round(float(np.max(np.abs(a - b))) / denom, 8),
             "device": str(jax.devices()[0]),
         }))
+    return rows
+
+
+def calibrate_penalty(rows) -> None:
+    """Fit ACFFT_PENALTY to the measured direct-vs-FFT winners.
+
+    The routing model (``ops.conv1d._fft_wins``) picks FFT iff
+    ``fft_model_cost * penalty < direct_model_cost``; each measured row
+    therefore constrains the penalty to one side of its model-cost ratio.
+    The suggested value minimizes total misrouting cost (time lost by
+    routing a row against its measured winner), with the geometric midpoint
+    of the feasible interval when all rows are consistent. Emits one JSON
+    line to paste into the env / _PENALTY_DEFAULTS.
+    """
+    import math
+
+    from applecider_tpu.ops.conv1d import _FFT_ACT_C, _FFT_KER_C, _next_fast_len
+
+    def model_ratio(r):
+        n = _next_fast_len(r["L"] + r["K"] - 1)
+        nf = n // 2 + 1
+        nlg = n * math.log2(n)
+        direct = 2.0 * r["L"] * r["K"] * r["cin"] * r["cout"]
+        fft = (8.0 * nf * r["cin"] * r["cout"]
+               + _FFT_ACT_C * nlg * (r["cin"] + r["cout"])
+               + _FFT_KER_C * nlg * r["cin"] * r["cout"] / max(r["batch"], 1))
+        return direct / fft  # the penalty at which routing flips for this row
+
+    ratios = [model_ratio(r) for r in rows]
+    fft_meas = [r["t_f"] < r["t_d"] for r in rows]
+
+    def misroute_cost(pen):
+        cost = 0.0
+        for r, ratio, fwin in zip(rows, ratios, fft_meas):
+            routes_fft = pen < ratio
+            if routes_fft != fwin:
+                cost += abs(r["t_d"] - r["t_f"])
+        return cost
+
+    lower = max((t for t, w in zip(ratios, fft_meas) if not w), default=None)
+    upper = min((t for t, w in zip(ratios, fft_meas) if w), default=None)
+    if lower is not None and upper is not None and lower < upper:
+        suggested = math.sqrt(lower * upper)  # all rows consistent
+    else:
+        # conflicting rows: scan flip points for the min-misroute penalty
+        candidates = sorted(set(
+            v for t in ratios for v in (t * 0.999, t * 1.001)
+        )) or [1.0]
+        suggested = min(candidates, key=misroute_cost)
+    print(json.dumps({
+        "bench": "acfft_calibration",
+        "suggested_penalty": round(float(suggested), 2),
+        "misrouted_rows_at_suggested": int(sum(
+            (suggested < t) != w for t, w in zip(ratios, fft_meas)
+        )),
+        "misroute_cost_us": round(misroute_cost(suggested) * 1e6, 1),
+        "row_flip_penalties": [round(float(t), 2) for t in ratios],
+    }))
 
 
 if __name__ == "__main__":
@@ -117,4 +178,4 @@ if __name__ == "__main__":
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     bench_attention()
-    bench_conv()
+    calibrate_penalty(bench_conv())
