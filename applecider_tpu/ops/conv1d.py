@@ -31,14 +31,17 @@ FFT_KERNEL_THRESHOLD = 16
 #   cpu: 6.0 — reproduces the measured direct-vs-FFT winner at all 18
 #        benchmarked (shape, batch) points on this image (bench_kernels.py
 #        + mid-K/batch sweeps; mean |log pred/meas| = 0.41).
-#   tpu: 30.0 — conservative prior from the MXU-vs-VPU throughput ratio
-#        (direct conv runs on the 197-TFLOP/s systolic array, FFT butterflies
-#        on the vector unit); keeps the direct path except where the FLOP
-#        reduction is overwhelming (K>=1021 banks), until an on-chip
-#        calibration (scripts/tpu_decision_pass.sh) lands a measured value.
+#   tpu: 41.05 — MEASURED on TPU v5e (scripts/tpu_decision_pass.sh,
+#        2026-08-16): direct (MXU) won all 6 SpectraNet stage shapes,
+#        including K=1021 where FFT was 3.7x faster on CPU (fft_speedup
+#        0.11-0.69 on chip). 41.05 is the misroute-cost-minimizing penalty
+#        from bench_kernels.py's auto-calibration; 0 rows misrouted. The
+#        TPU FFT is additionally far less accurate at K=1021 (rel_err 0.34
+#        vs ~2e-3 at K<=251 — the chip's FFT twiddle precision degrades at
+#        n=4500), so direct is the right call on both axes.
 # Resolved lazily so importing this module never touches the jax backend
 # (a wedged TPU tunnel would hang import-time backend init).
-_PENALTY_DEFAULTS = {"cpu": 6.0, "tpu": 30.0}
+_PENALTY_DEFAULTS = {"cpu": 6.0, "tpu": 41.05}
 _penalty_cache: float | None = None
 
 
