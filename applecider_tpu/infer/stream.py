@@ -193,34 +193,52 @@ def featurize_events(t_m, f_m, e_m, band_m, valid_m):
 
 
 # -------------------------------------------------------------- spectra
-def _median_no_sort(x, iters: int = 48):
-    """Median of a 1-D array via bisection on value — no sort.
+def _median_no_sort(x, passes: int = 4, bins: int = 128):
+    """Median of a 1-D array via histogram rank selection — no sort.
 
-    On TPU a 3481-length sort is ~log^2(n) bitonic passes; bisection is
-    ``iters`` masked-count passes with no data movement, and the two
-    central ranks share iterations. Converges to the true element values
-    within range/2^iters (< f32 resolution); exactness vs ``jnp.median``
-    is unit-tested.
+    On TPU a 3481-length sort is ~log^2(n) bitonic passes, and sequential
+    while-loop steps cost ~0.4 ms each at batch 256 (overhead, not
+    bandwidth — measured). A binary value-bisection needs 48 such steps;
+    this radix-style selection needs only ``passes`` (default 4): each
+    pass histograms the in-interval elements into ``bins`` uniform buckets
+    (a one-shot broadcast compare + reduction — embarrassingly parallel on
+    the VPU), locates the bucket holding each central rank via cumsum, and
+    narrows the interval by the bucket width. Interval after p passes:
+    range/bins^p — 128^4 = 2^28 is below f32 resolution. The two central
+    ranks ride as a leading length-2 axis. Exactness vs ``jnp.median`` is
+    unit-tested (duplicates, scales, sizes).
     """
     n = x.shape[-1]
-    ks = jnp.asarray([(n - 1) // 2, n // 2])  # 0-indexed central ranks
-    lo = jnp.broadcast_to(jnp.min(x), (2,))
-    hi = jnp.broadcast_to(jnp.max(x), (2,))
+    ks = jnp.asarray([[(n - 1) // 2], [n // 2]], jnp.float32)  # central ranks, (2,1)
+    xmin, xmax = jnp.min(x), jnp.max(x)
+    lo = jnp.broadcast_to(xmin, (2,))
+    # widen the top so every element strictly falls inside pass 1's buckets
+    hi = jnp.broadcast_to(xmax + 1e-6 * (xmax - xmin) + 1e-30, (2,))
+    arange_bins = jnp.arange(bins, dtype=jnp.int32)
+    for _ in range(passes):
+        w = jnp.maximum((hi - lo) / bins, 1e-38)
+        u_raw = jnp.floor((x[None, :] - lo[:, None]) / w[:, None])  # (2, n)
+        below = jnp.sum(u_raw < 0, axis=-1).astype(jnp.float32)  # (2,)
+        uc = jnp.clip(u_raw, 0, bins - 1).astype(jnp.int32)
+        # elements past the top edge (float-rounding stragglers in later
+        # passes) are absorbed into the last bucket so a rank is always hit
+        onehot = (uc[:, :, None] == arange_bins) & (u_raw >= 0)[:, :, None]
+        hist = jnp.sum(onehot.astype(jnp.float32), axis=1)  # (2, bins)
+        c = below[:, None] + jnp.cumsum(hist, axis=-1)  # counts <= bucket top
+        b = jnp.argmax(c >= ks + 1.0, axis=-1)  # first covering bucket
+        lo = lo + b.astype(lo.dtype) * w
+        hi = lo + w
+    return 0.5 * (0.5 * (lo[0] + hi[0]) + 0.5 * (lo[1] + hi[1]))
 
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum(x[None, :] <= mid[:, None], axis=-1)  # (2,)
-        # rank-k value <= mid iff at least k+1 elements are <= mid
-        left = cnt >= ks + 1
-        return jnp.where(left, lo, mid), jnp.where(left, mid, hi)
 
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return 0.5 * (hi[0] + hi[1])
+def _resample_spectrum_reference(wl, flux, valid, grid):
+    """Sort/searchsorted/gather reference implementation (oracle).
 
-
-def resample_spectrum(wl, flux, valid, grid):
-    """Linear interp with boundary extrapolation + (x-mean)/MAD normalize."""
+    Kept for exact-equivalence tests and as the fallback for non-uniform
+    grids. On TPU the argsort + searchsorted + 4 dynamic (G,)-gathers
+    measured 176 ms at batch 256 — 2x the whole fusion forward — which is
+    why the production path is ``resample_spectrum`` below.
+    """
     big = 1e30
     wl_s = jnp.where(valid, wl, big)
     order = jnp.argsort(wl_s)
@@ -241,13 +259,134 @@ def resample_spectrum(wl, flux, valid, grid):
     yl, yl1 = y[n - 1], y[n - 2]
     s_right = (yl - yl1) / jnp.maximum(xl - xl1, 1e-12)
     out = jnp.where(grid > xl, yl + s_right * (grid - xl), out)
+    return _mad_normalize(out)
 
+
+def _mad_normalize(out):
     mean = jnp.mean(out)
     med = _median_no_sort(out)
     mad = _median_no_sort(jnp.abs(out - med))
     std = jnp.std(out)
     scale = jnp.where(mad > 0, mad, jnp.where(std > 0, std, 1.0))
     return (out - mean) / scale
+
+
+def _interp_fill(x, y, valid, grid, gnp):
+    """Sort-free / search-free / gather-free linear interp onto a UNIFORM grid.
+
+    TPU-native formulation: because the target grid is uniform, the bin of
+    every sample point is closed-form arithmetic (one multiply + floor,
+    corrected to exact ``searchsorted(grid, x, side='right') - 1``
+    semantics with two tiny gathers from the constant grid). Each grid
+    point's bracketing samples then come from two associative-scan fills:
+
+      x0[g] = largest sample x <  grid[g]  == forward  "last valid" fill
+              over bins <= g-1 (every point in bin b satisfies
+              grid[b] <= x < grid[b+1], so bin <= g-1 <=> x < grid[g]);
+      x1[g] = smallest sample x >= grid[g] == backward "first valid" fill
+              over bins >= g.
+
+    Only the last point of each bin is scattered for the forward fill and
+    only the first for the backward fill (duplicate-free scatters), which
+    makes both fills EXACTLY the reference's ``x[idx-1]``/``x[idx]``
+    selections — equivalence is unit-tested. Cost: O(S) arithmetic, two
+    (S,)->(G+1,) scatters, two log2(G)-pass scans; measured ~50x faster
+    than the reference path at batch 256 on TPU v5e.
+    """
+    S = x.shape[0]
+    G = grid.shape[0]
+    g0 = float(gnp[0])
+    inv_dg = float((G - 1) / (gnp[-1] - gnp[0]))
+    neg, pos = jnp.float32(-jnp.inf), jnp.float32(jnp.inf)
+    gridp = jnp.concatenate([jnp.full((1,), neg), grid, jnp.full((1,), pos)])  # (G+2,)
+
+    # exact searchsorted-right bin: largest b with grid[b] <= x, in [-1, G-1]
+    xc = jnp.clip(x, g0 - 1.0 / inv_dg, float(gnp[-1]) + 1.0 / inv_dg)
+    b = jnp.clip(jnp.floor((xc - g0) * inv_dg).astype(jnp.int32), -1, G - 1)
+    b = b + (gridp[b + 2] <= x)   # float-rounding correction, +/-1 at most
+    b = b - ((gridp[b + 1] > x) & (b >= 0))
+
+    # last-of-bin (forward fill) / first-of-bin (backward fill) selectors
+    nxt_b = jnp.concatenate([b[1:], jnp.full((1,), -2, b.dtype)])
+    nxt_v = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
+    is_last = valid & ((b != nxt_b) | ~nxt_v)
+    prv_b = jnp.concatenate([jnp.full((1,), -2, b.dtype), b[:-1]])
+    prv_v = jnp.concatenate([jnp.zeros((1,), bool), valid[:-1]])
+    is_first = valid & ((b != prv_b) | ~prv_v)
+
+    slots = b + 1  # [0, G]; scatter into G+1 slots, drop at G+1
+    def scatter(sel):
+        tgt = jnp.where(sel, slots, G + 1)
+        sx = jnp.zeros((G + 1,), x.dtype).at[tgt].set(x, mode="drop")
+        sy = jnp.zeros((G + 1,), y.dtype).at[tgt].set(y, mode="drop")
+        sh = jnp.zeros((G + 1,), bool).at[tgt].set(sel, mode="drop")
+        return sx, sy, sh
+
+    def last_valid(a, c):  # rightmost-valid semigroup (associative)
+        ax, ay, ah = a
+        cx, cy, ch = c
+        return jnp.where(ch, cx, ax), jnp.where(ch, cy, ay), ah | ch
+
+    fx, fy, fh = jax.lax.associative_scan(last_valid, scatter(is_last))
+    x0, y0, h0 = fx[:G], fy[:G], fh[:G]  # slot g covers bins <= g-1
+
+    # reverse=True flips, scans, flips back — so "nearest valid at/after g"
+    # is the SAME rightmost-valid combiner applied to the flipped array
+    bx, by, bh = jax.lax.associative_scan(last_valid, scatter(is_first), reverse=True)
+    x1, y1, h1 = bx[1:], by[1:], bh[1:]  # slot g+1 covers bins >= g
+
+    slope = (y1 - y0) / jnp.maximum(x1 - x0, 1e-12)
+    out = y0 + slope * (grid - x0)
+
+    # boundary extrapolation from the first/last data segments (reference
+    # semantics: h0 false <=> grid[g] <= x_first; h1 false <=> grid[g] > x_last)
+    n = jnp.maximum(jnp.sum(valid), 2)
+    xa, xb_, ya, yb = x[0], x[1], y[0], y[1]
+    s_left = (yb - ya) / jnp.maximum(xb_ - xa, 1e-12)
+    out = jnp.where(~h0, ya + s_left * (grid - xa), out)
+    xl, xl1 = x[n - 1], x[n - 2]
+    yl, yl1 = y[n - 1], y[n - 2]
+    s_right = (yl - yl1) / jnp.maximum(xl - xl1, 1e-12)
+    out = jnp.where(~h1, yl + s_right * (grid - xl), out)
+    return out
+
+
+def resample_spectrum(wl, flux, valid, grid, assume_sorted: bool = False):
+    """Linear interp with boundary extrapolation + (x-mean)/MAD normalize.
+
+    ``assume_sorted``: the valid entries form an ascending-wavelength
+    prefix (``pack_alert_batch``'s layout) — skips the device argsort.
+    Uniform grids (every in-repo grid is a linspace) take the scatter+fill
+    fast path (``_interp_fill``); non-uniform or traced grids fall back to
+    the sort/search reference path.
+    """
+    gnp = None
+    if not isinstance(grid, jax.core.Tracer):
+        gnp = np.asarray(grid)
+        G = gnp.shape[0]
+        if G >= 2:
+            dg = (float(gnp[-1]) - float(gnp[0])) / (G - 1)
+            # closed-form binning + the +/-1 correction step is exact as
+            # long as every grid point sits within half a bin of the ideal
+            # uniform lattice (f32 linspace rounding is ~1e-3 bins)
+            ideal = float(gnp[0]) + np.arange(G) * dg
+            if dg <= 0 or float(np.max(np.abs(gnp - ideal))) > 0.45 * dg:
+                gnp = None
+        else:
+            gnp = None
+    if gnp is None:
+        return _resample_spectrum_reference(wl, flux, valid, grid)
+
+    big = 1e30
+    x = jnp.where(valid, wl, big)
+    y = jnp.where(valid, flux, 0.0)
+    v = valid
+    if not assume_sorted:
+        order = jnp.argsort(x)
+        x, y = x[order], y[order]
+        v = x < big / 2
+    out = _interp_fill(x, y, v, grid, gnp)
+    return _mad_normalize(out)
 
 
 # ------------------------------------------------------------- pipeline
@@ -326,7 +465,7 @@ class AlertStreamPipeline:
         ctx5 = ctx[:, [0, 1, 3, 4, 6]]
         metadata = jnp.concatenate([raw["meta19"], ctx5], axis=1)
 
-        spectra = jax.vmap(partial(resample_spectrum, grid=self.grid))(
+        spectra = jax.vmap(partial(resample_spectrum, grid=self.grid, assume_sorted=True))(
             raw["spec_wl"], raw["spec_flux"], raw["spec_valid"]
         )
         spectra = jnp.where(raw["has_spectrum"][:, None], spectra, 0.0)
@@ -446,8 +585,13 @@ def pack_alert_batch(
         srows = np.repeat(np.asarray(spec_idx, np.int64), slens)
         sstarts = np.concatenate([[0], np.cumsum(slens)[:-1]])
         scols = np.arange(wl_all.shape[0], dtype=np.int64) - np.repeat(sstarts, slens)
-        out["spec_wl"][srows, scols] = wl_all
-        out["spec_flux"][srows, scols] = fx_all
+        # ascending-wavelength prefix per sample: one stable lexsort of the
+        # concatenated stream lets the device skip its argsort
+        # (resample_spectrum assume_sorted=True). Instrument spectra are
+        # usually already ascending, making this a near-free passthrough.
+        sorder = np.lexsort((wl_all, srows))
+        out["spec_wl"][srows, scols] = wl_all[sorder]
+        out["spec_flux"][srows, scols] = fx_all[sorder]
         out["spec_valid"][srows, scols] = True
         out["has_spectrum"][np.asarray(spec_idx)] = True
     return out

@@ -219,6 +219,64 @@ def test_pointer_doubling_merge_flags_match_scan(rng):
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial} P={P}")
 
 
+def test_fill_resample_matches_reference(rng):
+    """The scatter+associative-scan interp (uniform-grid fast path) selects
+    exactly the reference's bracketing samples — including duplicates,
+    empty tails, out-of-range grids, and exact grid-point hits."""
+    from applecider_tpu.infer.stream import _resample_spectrum_reference, resample_spectrum
+
+    grid = jnp.asarray(np.linspace(4500, 7980, 3481, dtype=np.float32))
+    for trial in range(12):
+        S = int(rng.integers(8, 512))
+        n_valid = int(rng.integers(3, S + 1))
+        wl = np.sort(rng.uniform(4000, 8500, size=n_valid)).astype(np.float32)
+        if trial % 3 == 0 and n_valid > 6:  # duplicate wavelengths
+            wl[n_valid // 2] = wl[n_valid // 2 - 1]
+        if trial % 4 == 0:  # exact grid-point hits
+            wl[: min(5, n_valid)] = np.asarray(grid)[[7, 99, 1000, 2480, 3480]][: min(5, n_valid)]
+            wl = np.sort(wl)
+        # flux as a deterministic function of wavelength: equal wavelengths
+        # always carry equal flux, so the bracketing-sample choice among
+        # duplicates (order-dependent in the unsorted path) can't matter
+        fx = np.sin(wl * 0.013).astype(np.float32) + 0.1 * np.cos(wl).astype(np.float32)
+        wlp = np.zeros(S, np.float32); wlp[:n_valid] = wl
+        fxp = np.zeros(S, np.float32); fxp[:n_valid] = fx
+        vp = np.zeros(S, bool); vp[:n_valid] = True
+
+        ref = np.asarray(jax.jit(
+            lambda w, f, v: _resample_spectrum_reference(w, f, v, grid)
+        )(wlp, fxp, vp))
+        got_sorted = np.asarray(jax.jit(
+            lambda w, f, v: resample_spectrum(w, f, v, grid, assume_sorted=True)
+        )(wlp, fxp, vp))
+        np.testing.assert_allclose(got_sorted, ref, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"trial {trial} (sorted path)")
+
+        # unsorted input through the default (argsort) path
+        perm = rng.permutation(n_valid)
+        wlu = wlp.copy(); wlu[:n_valid] = wl[perm]
+        fxu = fxp.copy(); fxu[:n_valid] = fx[perm]
+        got_unsorted = np.asarray(jax.jit(
+            lambda w, f, v: resample_spectrum(w, f, v, grid)
+        )(wlu, fxu, vp))
+        np.testing.assert_allclose(got_unsorted, ref, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"trial {trial} (unsorted path)")
+
+
+def test_resample_nonuniform_grid_falls_back(rng):
+    """Non-uniform grids route to the reference path (same results by
+    construction); the dispatch itself must not crash or mis-route."""
+    from applecider_tpu.infer.stream import _resample_spectrum_reference, resample_spectrum
+
+    grid = jnp.asarray(np.sort(rng.uniform(4500, 7980, 257)).astype(np.float32))
+    wl = np.sort(rng.uniform(4000, 8500, 64)).astype(np.float32)
+    fx = rng.normal(size=64).astype(np.float32)
+    vp = np.ones(64, bool)
+    ref = np.asarray(_resample_spectrum_reference(wl, fx, vp, grid))
+    got = np.asarray(resample_spectrum(wl, fx, vp, grid))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
 def test_median_no_sort_matches_jnp_median(rng):
     """Bisection median == jnp.median to f32 resolution, across sizes,
     duplicates, and scales."""
