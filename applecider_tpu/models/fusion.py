@@ -67,6 +67,13 @@ class AppleCiderModule(nn.Module):
         s_emb = l2_normalize(Linear(self.hidden_dim, name="spectra_proj")(s))
         im_emb = l2_normalize(Linear(self.hidden_dim, name="img_metadata_proj")(im))
 
+        # spectrum-presence routing support (infer/stream.RoutedAlertStream):
+        # a batch whose samples all lack spectra passes ONE zero spectrum —
+        # every SpectraNet op is per-sample, so the (1, h) embedding is
+        # exactly what a (B, h) zero batch would produce row-wise
+        if s_emb.shape[0] == 1 and p_emb.shape[0] != 1:
+            s_emb = jnp.broadcast_to(s_emb, (p_emb.shape[0], s_emb.shape[-1]))
+
         if return_embeddings:
             return p_emb, im_emb, s_emb
 

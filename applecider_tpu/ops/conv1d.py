@@ -19,6 +19,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # Back-compat alias: the old "auto" policy was a kernel-width threshold.
@@ -32,13 +33,16 @@ FFT_KERNEL_THRESHOLD = 16
 #        benchmarked (shape, batch) points on this image (bench_kernels.py
 #        + mid-K/batch sweeps; mean |log pred/meas| = 0.41).
 #   tpu: 41.05 — MEASURED on TPU v5e (scripts/tpu_decision_pass.sh,
-#        2026-08-16): direct (MXU) won all 6 SpectraNet stage shapes,
-#        including K=1021 where FFT was 3.7x faster on CPU (fft_speedup
-#        0.11-0.69 on chip). 41.05 is the misroute-cost-minimizing penalty
-#        from bench_kernels.py's auto-calibration; 0 rows misrouted. The
-#        TPU FFT is additionally far less accurate at K=1021 (rel_err 0.34
-#        vs ~2e-3 at K<=251 — the chip's FFT twiddle precision degrades at
-#        n=4500), so direct is the right call on both axes.
+#        2026-08-16, re-confirmed with materialization-synced timing):
+#        direct (MXU) won all 6 SpectraNet stage shapes, including K=1021
+#        where FFT was 3.7x faster on CPU (fft_speedup 0.11-0.69 on chip).
+#        41.05 is the misroute-cost-minimizing penalty from
+#        bench_kernels.py's auto-calibration; 0 rows misrouted.
+#        Accuracy NOTE (ground-truthed vs host f64): TPU FFT is the MOST
+#        accurate path on chip (f32 FFT == host f64 at K=1021; bf16 1.3e-3),
+#        while f32 direct conv lowers to 1-pass bf16 on the MXU (1.8e-3) —
+#        for full-f32 TPU parity use jax.default_matmul_precision('highest')
+#        or conv_mode='fft'.
 # Resolved lazily so importing this module never touches the jax backend
 # (a wedged TPU tunnel would hang import-time backend init).
 _PENALTY_DEFAULTS = {"cpu": 6.0, "tpu": 41.05}
@@ -121,6 +125,61 @@ def conv1d_direct(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
     )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def conv1d_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
+               block: int = 8) -> jax.Array:
+    """'same' cross-correlation via space-to-depth (polyphase) decomposition.
+
+    Rewrites the length-L, kernel-K conv as a length-L/R conv with R-fold
+    richer channels (R = ``block``): x (B, L, Cin) -> (B, L/R, R*Cin),
+    kernel (K, Cin, C) -> (D, R*Cin, R*C) with D ~ K/R + 2. FLOPs are
+    ~identical (R*D ~ K + 2R taps), but the implied im2col matmul gets a
+    contraction dim of R*Cin*D and an output dim of R*C — at SpectraNet's
+    stage-0 shape (Cin=1, C=64, K=1021) that turns a (M, 1021) x (1021, 64)
+    matmul into (M/8, 1032*8=8256-tap eq) x (..., 512): full 128-lane MXU
+    tiles instead of half-empty ones. Measured A/B rides in
+    ``bench_kernels.py``; exact equivalence with ``conv1d_direct`` is
+    unit-tested.
+
+    Derivation: y[R*m + r, o] = sum_{d,p,ci} xr[m+d, p, ci] * w2[d, p*Cin+ci, r*C+o]
+    where w2 taps w at R*d + p - r + K//2 (zero outside [0, K)).
+    """
+    B, L, Cin = x.shape
+    K, _, C = kernel.shape
+    R = block
+    P0 = K // 2
+    M = -(-L // R)  # ceil
+    d_min = -((P0 + R - 1) // R)
+    d_max = (K - 1 + (R - 1) - P0) // R
+    D = d_max - d_min + 1
+
+    # static tap index table (D, R, R): tap = R*(d_min+di) + p - r + P0
+    di = np.arange(D)[:, None, None]
+    p = np.arange(R)[None, :, None]
+    r = np.arange(R)[None, None, :]
+    tap = R * (d_min + di) + p - r + P0  # (D, R, R)
+    valid = (tap >= 0) & (tap < K)
+    tap_c = np.clip(tap, 0, K - 1)
+
+    # w2: (D, R*Cin, R*C)
+    w_taps = kernel[tap_c]  # (D, R, R, Cin, C) via leading-axis gather
+    w2 = jnp.where(jnp.asarray(valid)[..., None, None], w_taps, 0)
+    w2 = jnp.transpose(w2, (0, 1, 3, 2, 4)).reshape(D, R * Cin, R * C)
+
+    xp = jnp.pad(x, ((0, 0), (0, M * R - L), (0, 0)))
+    xr = xp.reshape(B, M, R * Cin)
+    y = lax.conv_general_dilated(
+        xr, w2.astype(x.dtype),
+        window_strides=(1,),
+        padding=[(-d_min, d_max)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )  # (B, M, R*C)
+    y = y.reshape(B, M * R, C)[:, :L]
     if bias is not None:
         y = y + bias
     return y

@@ -31,15 +31,27 @@ SPECTRA_STAGES = [
 ]
 
 
-def _time(fn, *args, iters=30):
+def _materialize(out):
+    """Host-materialize one element: the only reliable sync through the
+    remote-TPU relay (block_until_ready returns before execution there —
+    see bench.py:_block / KERNEL_NOTES)."""
     import jax
 
+    leaf = jax.tree.leaves(out)[0]
+    idx = tuple(0 for _ in range(getattr(leaf, "ndim", 0)))
+    np.asarray(leaf[idx] if idx else leaf)
+
+
+def _time(fn, *args, iters=30):
+    """Amortized: N queued dispatches + one final materialization. Programs
+    execute in order on the chip, so total/N bounds true per-iter cost to
+    within (one roundtrip)/N."""
     out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)  # compile + sync
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -99,11 +111,13 @@ def bench_conv(batch=64, dtype="bfloat16"):
         w = jnp.asarray(rng.normal(size=(K, cin, cout)) / np.sqrt(cin * K), jnp.float32)
         direct = jax.jit(lambda x, w: conv1d_direct(x, w))
         fftc = jax.jit(lambda x, w: conv1d_fft(x, w))
-        t_d = _time(direct, x, w, iters=10)
-        t_f = _time(fftc, x, w, iters=10)
+        # numerics BEFORE the timing loops: fetching after queued work has
+        # returned corrupted comparisons through the relay (round-3 finding)
         a = np.asarray(direct(x, w), np.float32)
         b = np.asarray(fftc(x, w), np.float32)
         denom = max(float(np.abs(a).max()), 1e-6)
+        t_d = _time(direct, x, w, iters=10)
+        t_f = _time(fftc, x, w, iters=10)
         rows.append({"L": L, "cin": cin, "cout": cout, "K": K, "batch": batch,
                      "t_d": t_d, "t_f": t_f})
         print(json.dumps({
@@ -173,9 +187,45 @@ def calibrate_penalty(rows) -> None:
     }))
 
 
+def bench_conv_s2d(batch=256, dtype="bfloat16"):
+    """Direct lax.conv vs the space-to-depth (polyphase) rewrite.
+
+    Targets the MXU-starved stage shapes: cin=1 leaves the im2col matmul
+    with cout=64 half-empty lanes; s2d trades it for R*C=512-wide tiles.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from applecider_tpu.ops.conv1d import conv1d_direct, conv1d_s2d
+
+    rng = np.random.default_rng(0)
+    for L, cin, cout, K in SPECTRA_STAGES:
+        x = jnp.asarray(rng.normal(size=(batch, L, cin)), dtype=dtype)
+        w = jnp.asarray(rng.normal(size=(K, cin, cout)) / np.sqrt(cin * K), jnp.float32)
+        direct = jax.jit(lambda x, w: conv1d_direct(x, w))
+        s2d = jax.jit(lambda x, w: conv1d_s2d(x, w, block=8))
+        a = np.asarray(direct(x, w), np.float32)  # numerics before timing
+        b = np.asarray(s2d(x, w), np.float32)
+        denom = max(float(np.abs(a).max()), 1e-6)
+        t_d = _time(direct, x, w, iters=10)
+        t_s = _time(s2d, x, w, iters=10)
+        gfl = 2.0 * batch * L * K * cin * cout / 1e9
+        print(json.dumps({
+            "bench": "conv1d_s2d", "L": L, "cin": cin, "cout": cout, "K": K,
+            "batch": batch,
+            "direct_us": round(t_d * 1e6, 1), "s2d_us": round(t_s * 1e6, 1),
+            "s2d_speedup": round(t_d / t_s, 2),
+            "direct_tflops": round(gfl / t_d / 1e3, 1),
+            "s2d_tflops": round(gfl / t_s / 1e3, 1),
+            "rel_err": round(float(np.max(np.abs(a - b))) / denom, 8),
+            "device": str(jax.devices()[0]),
+        }))
+
+
 if __name__ == "__main__":
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     bench_attention()
     calibrate_penalty(bench_conv())
+    bench_conv_s2d()
