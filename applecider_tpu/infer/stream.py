@@ -209,7 +209,7 @@ def _median_no_sort(x, passes: int = 4, bins: int = 128):
     unit-tested (duplicates, scales, sizes).
     """
     n = x.shape[-1]
-    ks = jnp.asarray([[(n - 1) // 2], [n // 2]], jnp.float32)  # central ranks, (2,1)
+    ks = jnp.asarray([[(n - 1) // 2], [n // 2]], jnp.int32)  # central ranks, (2,1)
     xmin, xmax = jnp.min(x), jnp.max(x)
     lo = jnp.broadcast_to(xmin, (2,))
     # widen the top so every element strictly falls inside pass 1's buckets
@@ -218,14 +218,16 @@ def _median_no_sort(x, passes: int = 4, bins: int = 128):
     for _ in range(passes):
         w = jnp.maximum((hi - lo) / bins, 1e-38)
         u_raw = jnp.floor((x[None, :] - lo[:, None]) / w[:, None])  # (2, n)
-        below = jnp.sum(u_raw < 0, axis=-1).astype(jnp.float32)  # (2,)
+        below = jnp.sum((u_raw < 0).astype(jnp.int8), axis=-1, dtype=jnp.int32)
         uc = jnp.clip(u_raw, 0, bins - 1).astype(jnp.int32)
         # elements past the top edge (float-rounding stragglers in later
-        # passes) are absorbed into the last bucket so a rank is always hit
+        # passes) are absorbed into the last bucket so a rank is always hit.
+        # int8 one-hot: the (2, n, bins) intermediate is the pass's HBM
+        # traffic — 4x cheaper than f32 (counts fit int32 exactly)
         onehot = (uc[:, :, None] == arange_bins) & (u_raw >= 0)[:, :, None]
-        hist = jnp.sum(onehot.astype(jnp.float32), axis=1)  # (2, bins)
+        hist = jnp.sum(onehot.astype(jnp.int8), axis=1, dtype=jnp.int32)  # (2, bins)
         c = below[:, None] + jnp.cumsum(hist, axis=-1)  # counts <= bucket top
-        b = jnp.argmax(c >= ks + 1.0, axis=-1)  # first covering bucket
+        b = jnp.argmax(c >= ks + 1, axis=-1)  # first covering bucket
         lo = lo + b.astype(lo.dtype) * w
         hi = lo + w
     return 0.5 * (0.5 * (lo[0] + hi[0]) + 0.5 * (lo[1] + hi[1]))
@@ -652,8 +654,15 @@ class RoutedAlertStream:
                 return b
         return n
 
-    def __call__(self, params, samples: list[dict], length_buckets=None,
-                 image_dtype=np.float32) -> np.ndarray:
+    def submit(self, params, samples: list[dict], length_buckets=None,
+               image_dtype=np.float32):
+        """Pack + dispatch both sub-batches WITHOUT synchronizing.
+
+        Returns a zero-arg callable that materializes the (N, C) host
+        array. Pipelining pattern (a production feeder, and bench.py):
+        submit(batch i+1) while batch i executes, then resolve batch i —
+        the host-device roundtrip hides behind the next batch's compute.
+        """
         idx_spec = [i for i, s in enumerate(samples) if _has_spectrum(s)]
         idx_plain = [i for i, s in enumerate(samples) if not _has_spectrum(s)]
         outs = []
@@ -671,12 +680,23 @@ class RoutedAlertStream:
                 length_buckets=length_buckets, image_dtype=image_dtype,
             )
             outs.append(pipe(params, raw))
-        probs = None
-        for out, idx in zip(outs, (idx_spec, idx_plain)):
-            if out is None:
-                continue
-            arr = np.asarray(out)  # D2H sync; padding sliced off below
-            if probs is None:
-                probs = np.empty((len(samples), arr.shape[-1]), arr.dtype)
-            probs[np.asarray(idx)] = arr[: len(idx)]
-        return probs
+
+        n = len(samples)
+
+        def resolve() -> np.ndarray:
+            probs = None
+            for out, idx in zip(outs, (idx_spec, idx_plain)):
+                if out is None:
+                    continue
+                arr = np.asarray(out)  # D2H sync; padding sliced off below
+                if probs is None:
+                    probs = np.empty((n, arr.shape[-1]), arr.dtype)
+                probs[np.asarray(idx)] = arr[: len(idx)]
+            return probs
+
+        return resolve
+
+    def __call__(self, params, samples: list[dict], length_buckets=None,
+                 image_dtype=np.float32) -> np.ndarray:
+        return self.submit(params, samples, length_buckets=length_buckets,
+                           image_dtype=image_dtype)()

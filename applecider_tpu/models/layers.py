@@ -111,10 +111,16 @@ class MultiHeadSelfAttention(nn.Module):
                 q, k, v, key_padding_mask, interpret=self.impl == "pallas_interpret"
             )
         else:
+            # bf16 compute: materialize the (B, H, L, L) score tensor in
+            # bf16 — it's the transformer's HBM bottleneck on TPU (545 MB
+            # f32 per layer at B=256; softmax makes 2-3 passes over it).
+            # MXU accumulation stays f32 either way; f32 mode keeps the
+            # full-precision chain for the 1e-4 torch-parity path.
+            score_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            scores = scores / math.sqrt(head_dim)
+            scores = (scores / math.sqrt(head_dim)).astype(score_dtype)
             if key_padding_mask is not None:
-                neg = jnp.asarray(-1e9, dtype=scores.dtype)
+                neg = jnp.asarray(-1e9, dtype=score_dtype)  # exactly representable in bf16
                 scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
             attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)

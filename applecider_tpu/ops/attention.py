@@ -3,22 +3,22 @@
 The photometry encoder's attention (L=258, d=128, 8 heads) is the hot op
 of the BaselineCLS/MPT path. Unfused XLA materializes the (B, H, L, L)
 score tensor in HBM (hundreds of MB per large batch); this kernel computes
-scores -> mask -> softmax -> weighted sum entirely in VMEM, one (batch,
-head) pair per grid program — the sequence is short enough that the whole
-(L, L) tile fits on-chip comfortably.
+scores -> mask -> softmax -> weighted sum entirely in VMEM, one BATCH per
+grid program with the heads looped inside — the sequence is short enough
+that a full head's (L, L) score tile plus all heads' q/k/v fit on-chip
+comfortably.
+
+Grid history (measured TPU v5e, B=256): the round-2 kernel used one
+(batch, head) pair per program — 2048 programs whose ~6 us launch/DMA
+overhead alone cost ~12.9 ms, 1.8x SLOWER than XLA's 7.3 ms unfused chain.
+This version launches B=256 programs and loops H=8 heads in-kernel,
+amortizing the per-program overhead 8x; see docs/KERNEL_NOTES.md for the
+current A/B verdict and `bench_kernels.py bench_attention` to re-measure.
 
 Numerics match ``models.layers.MultiHeadSelfAttention`` (q/sqrt(hd) scaling,
 -1e9 additive key-padding mask, f32 softmax); used behind the
 ``attention_impl="pallas"`` flag with the XLA einsum path as default and
 fallback (the kernel requires a TPU; tests run it in interpreter mode).
-
-VERDICT (measured TPU v5e, 2026-08-16, docs/KERNEL_NOTES.md): at the
-production shape (256, 8, 258, 16) this kernel is 4.9x SLOWER than the XLA
-path (304 µs vs 62 µs) — the per-(batch, head) grid launches 2048 programs
-of 16-wide matmuls that underutilize the MXU, while XLA's fusion already
-keeps the small (258, 258) score tile out of HBM. ``attention_impl="xla"``
-is the permanent default; this kernel is retained as the A/B harness and
-as a template for L >~ 2k sequences only.
 """
 
 from __future__ import annotations
@@ -33,20 +33,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # (L, hd)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (L, L)
     pad = mask_ref[0]  # (1, L) int32; 1 = padded key
-    scores = jnp.where(pad > 0, -1e9, scores)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    H = q_ref.shape[1]
+    for h in range(H):  # static unroll: all heads share this program's DMA
+        q = q_ref[0, h].astype(jnp.float32)  # (L, hd)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (L, L)
+        scores = jnp.where(pad > 0, -1e9, scores)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, h] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
 def pallas_masked_attention(
@@ -63,27 +65,25 @@ def pallas_masked_attention(
         mask = jnp.zeros((B, 1, L), jnp.int32)
     else:
         mask = key_padding_mask.astype(jnp.int32)[:, None, :]
-    qf = q.reshape(B * H, L, hd)
-    kf = k.reshape(B * H, L, hd)
-    vf = v.reshape(B * H, L, hd)
-    # one (batch, head) pair per program; mask is shared across heads
-    grid = (B * H,)
+    # one batch per program, heads looped in-kernel (see module docstring)
+    grid = (B,)
     out = pl.pallas_call(
         functools.partial(_mha_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((B * H, L, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, L, hd), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, L, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L), lambda i: (i // H, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, L, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, L, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, L, hd), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, L, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, H, L, hd), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * L * L * hd,
-            bytes_accessed=3 * L * hd * 4 + L * hd * 4,
-            transcendentals=L * L,
+            flops=2 * 2 * H * L * L * hd,
+            bytes_accessed=4 * H * L * hd * 4,
+            transcendentals=H * L * L,
         ),
-    )(qf, kf, vf, mask)
-    return out.reshape(B, H, L, hd)
+    )(q, k, v, mask)
+    return out

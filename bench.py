@@ -263,10 +263,23 @@ def run_bench(device) -> dict:
         router = RoutedAlertStream(task)
         for s in sample_sets:  # pre-compile both pipelines' buckets
             router(params, s, length_buckets=BUCKETS, image_dtype=img_dtype)
+        # 3-deep pipelining: keep three batches in flight before resolving
+        # the oldest — on a remote-tunnel chip the per-batch D2H roundtrip
+        # (~2 RTT for the two sub-batches) far exceeds compute, so one
+        # batch of lookahead can't hide it; three does. Results are still
+        # consumed every iteration (production feeder semantics).
+        from collections import deque
+
+        depth = 3
+        pending: deque = deque()
         t0 = time.perf_counter()
         for i in range(iters):
-            router(params, sample_sets[i % n_sets], length_buckets=BUCKETS,
-                   image_dtype=img_dtype)
+            pending.append(router.submit(params, sample_sets[i % n_sets],
+                                         length_buckets=BUCKETS, image_dtype=img_dtype))
+            if len(pending) > depth:
+                pending.popleft()()
+        while pending:
+            pending.popleft()()
         sustained_routed = sus_bs * iters / (time.perf_counter() - t0)
 
     # ---- honest p50 per-alert latency: pack ONE alert + pipeline + block
