@@ -68,14 +68,17 @@ class Conv2dTorch(nn.Module):
         kernel = self.param("kernel", _conv_init, (k, k, cin // self.groups, self.features))
         fan_in = (cin // self.groups) * k * k
         bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        xc = x.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
+            xc,
             kernel.astype(self.dtype),
             window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
+            # f32-store only for f32 operands: conv's VJP rejects the mixed
+            # bf16-operand/f32-cotangent transpose conv (see ops/conv1d.py)
+            preferred_element_type=jnp.float32 if xc.dtype == jnp.float32 else None,
         )
         return (y + bias).astype(self.dtype or y.dtype)
 

@@ -115,15 +115,24 @@ def conv1d_direct(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None
     """'same' cross-correlation, odd K.
 
     x: (B, L, Cin); kernel: (K, Cin, Cout) -> (B, L, Cout).
+
+    dtype note: for f32 inputs the output accumulates and stores f32.
+    For bf16 inputs the output STORES bf16 (the MXU still accumulates f32
+    internally per tile) — ``preferred_element_type=f32`` with bf16
+    operands breaks the conv's VJP (``lax.conv_general_dilated`` rejects
+    the mixed bf16-operand/f32-cotangent transpose conv that grad builds;
+    ``dot_general`` tolerates mixed dtypes, conv does not), which made
+    bf16 *training* through SpectraNet untraceable.
     """
     k = kernel.shape[0]
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
         window_strides=(1,),
         padding=[(k // 2, k // 2)],
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
     if bias is not None:
         y = y + bias
@@ -177,7 +186,8 @@ def conv1d_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
         window_strides=(1,),
         padding=[(-d_min, d_max)],
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
+        # same VJP constraint as conv1d_direct: no f32 store for bf16 operands
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )  # (B, M, R*C)
     y = y.reshape(B, M * R, C)[:, :L]
     if bias is not None:
