@@ -656,22 +656,40 @@ class RoutedAlertStream:
 
     def submit(self, params, samples: list[dict], length_buckets=None,
                image_dtype=np.float32):
-        """Pack + dispatch both sub-batches WITHOUT synchronizing.
+        """Pack + async-place + dispatch both sub-batches WITHOUT
+        synchronizing.
 
         Returns a zero-arg callable that materializes the (N, C) host
         array. Pipelining pattern (a production feeder, and bench.py):
         submit(batch i+1) while batch i executes, then resolve batch i —
         the host-device roundtrip hides behind the next batch's compute.
         """
-        idx_spec = [i for i, s in enumerate(samples) if _has_spectrum(s)]
-        idx_plain = [i for i, s in enumerate(samples) if not _has_spectrum(s)]
-        outs = []
-        for pipe, idx, max_spec in (
-            (self.full, idx_spec, 512),
-            (self.nospec, idx_plain, 1),
-        ):
+        return self.run_placed(
+            params,
+            self.place(samples, length_buckets=length_buckets, image_dtype=image_dtype),
+        )
+
+    def __call__(self, params, samples: list[dict], length_buckets=None,
+                 image_dtype=np.float32) -> np.ndarray:
+        return self.submit(params, samples, length_buckets=length_buckets,
+                           image_dtype=image_dtype)()
+
+    def place(self, samples: list[dict], length_buckets=None,
+              image_dtype=np.float32, device=None):
+        """Pack + split + device_put WITHOUT dispatching.
+
+        Returns an opaque placed-batch object for ``run_placed``. Use to
+        separate the host/H2D plane from device execution — e.g. a feeder
+        thread placing batch i+1 while the device runs batch i, or a
+        device-residency benchmark.
+        """
+        import jax
+
+        placed = []
+        for pred, max_spec in ((True, 512), (False, 1)):
+            idx = [i for i, s in enumerate(samples) if _has_spectrum(s) == pred]
             if not idx:
-                outs.append(None)
+                placed.append((None, idx))
                 continue
             subset = [samples[i] for i in idx]
             pad = self._bucket(len(subset)) - len(subset)
@@ -679,24 +697,28 @@ class RoutedAlertStream:
                 subset + [subset[0]] * pad, max_spec=max_spec,
                 length_buckets=length_buckets, image_dtype=image_dtype,
             )
-            outs.append(pipe(params, raw))
+            raw = {k: (jax.device_put(v, device) if device is not None
+                       else jax.device_put(v)) for k, v in raw.items()}
+            placed.append((raw, idx))
+        return (len(samples), placed)
 
-        n = len(samples)
+    def run_placed(self, params, placed):
+        """Dispatch both sub-batches of a ``place()``d batch; returns a
+        zero-arg resolver like ``submit``."""
+        n, parts = placed
+        outs = []
+        for pipe, (raw, idx) in zip((self.full, self.nospec), parts):
+            outs.append(None if raw is None else pipe(params, raw))
 
         def resolve() -> np.ndarray:
             probs = None
-            for out, idx in zip(outs, (idx_spec, idx_plain)):
+            for out, (_, idx) in zip(outs, parts):
                 if out is None:
                     continue
-                arr = np.asarray(out)  # D2H sync; padding sliced off below
+                arr = np.asarray(out)
                 if probs is None:
                     probs = np.empty((n, arr.shape[-1]), arr.dtype)
                 probs[np.asarray(idx)] = arr[: len(idx)]
             return probs
 
         return resolve
-
-    def __call__(self, params, samples: list[dict], length_buckets=None,
-                 image_dtype=np.float32) -> np.ndarray:
-        return self.submit(params, samples, length_buckets=length_buckets,
-                           image_dtype=image_dtype)()
