@@ -203,10 +203,16 @@ def _median_no_sort(x, passes: int = 4, bins: int = 128):
     pass histograms the in-interval elements into ``bins`` uniform buckets
     (a one-shot broadcast compare + reduction — embarrassingly parallel on
     the VPU), locates the bucket holding each central rank via cumsum, and
-    narrows the interval by the bucket width. Interval after p passes:
-    range/bins^p — 128^4 = 2^28 is below f32 resolution. The two central
-    ranks ride as a leading length-2 axis. Exactness vs ``jnp.median`` is
-    unit-tested (duplicates, scales, sizes).
+    narrows the interval to the ACTUAL data min/max inside that bucket.
+    The data clamp is what makes convergence outlier-immune: a raw
+    bucket-width interval shrinks only as range/bins^p, so one 1e30 spike
+    would leave the median wrong by range/2^28 after 4 passes (a real
+    round-3 review catch); clamping to the in-bucket data range makes each
+    pass's interval track the surviving candidates, which collapses to the
+    exact element values after a few passes for any outlier structure.
+    The two central ranks ride as a leading length-2 axis. Exactness vs
+    ``jnp.median`` is unit-tested (duplicates, scales, sizes, and
+    single-huge-outlier regressions).
     """
     n = x.shape[-1]
     ks = jnp.asarray([[(n - 1) // 2], [n // 2]], jnp.int32)  # central ranks, (2,1)
@@ -228,8 +234,14 @@ def _median_no_sort(x, passes: int = 4, bins: int = 128):
         hist = jnp.sum(onehot.astype(jnp.int8), axis=1, dtype=jnp.int32)  # (2, bins)
         c = below[:, None] + jnp.cumsum(hist, axis=-1)  # counts <= bucket top
         b = jnp.argmax(c >= ks + 1, axis=-1)  # first covering bucket
-        lo = lo + b.astype(lo.dtype) * w
-        hi = lo + w
+        lo2 = lo + b.astype(lo.dtype) * w
+        hi2 = lo2 + w
+        # clamp to the in-bucket data range (outlier immunity, see docstring)
+        inb = (x[None, :] >= lo2[:, None]) & (x[None, :] <= hi2[:, None])
+        dlo = jnp.min(jnp.where(inb, x[None, :], jnp.inf), axis=-1)
+        dhi = jnp.max(jnp.where(inb, x[None, :], -jnp.inf), axis=-1)
+        lo = jnp.where(jnp.isfinite(dlo), jnp.maximum(lo2, dlo), lo2)
+        hi = jnp.where(jnp.isfinite(dhi), jnp.minimum(hi2, dhi), hi2)
     return 0.5 * (0.5 * (lo[0] + hi[0]) + 0.5 * (lo[1] + hi[1]))
 
 
@@ -692,11 +704,18 @@ class RoutedAlertStream:
                 placed.append((None, idx))
                 continue
             subset = [samples[i] for i in idx]
-            pad = self._bucket(len(subset)) - len(subset)
+            # pack the REAL subset, then tile the first packed row out to
+            # the bucket — padding must not multiply the host packing work
+            # (a single alert padded to bucket 8 would otherwise pay 8x
+            # the concat+lexsort; padding rows are sliced off at resolve)
             raw = pack_alert_batch(
-                subset + [subset[0]] * pad, max_spec=max_spec,
+                subset, max_spec=max_spec,
                 length_buckets=length_buckets, image_dtype=image_dtype,
             )
+            pad = self._bucket(len(subset)) - len(subset)
+            if pad:
+                raw = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+                       for k, v in raw.items()}
             raw = {k: (jax.device_put(v, device) if device is not None
                        else jax.device_put(v)) for k, v in raw.items()}
             placed.append((raw, idx))
@@ -719,6 +738,9 @@ class RoutedAlertStream:
                 if probs is None:
                     probs = np.empty((n, arr.shape[-1]), arr.dtype)
                 probs[np.asarray(idx)] = arr[: len(idx)]
+            if probs is None:  # empty samples list -> empty result, not None
+                ncls = int(getattr(self.full.task.module, "num_classes", 0))
+                probs = np.zeros((0, ncls), np.float32)
             return probs
 
         return resolve

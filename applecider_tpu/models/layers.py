@@ -116,7 +116,7 @@ class MultiHeadSelfAttention(nn.Module):
             # f32 per layer at B=256; softmax makes 2-3 passes over it).
             # MXU accumulation stays f32 either way; f32 mode keeps the
             # full-precision chain for the 1e-4 torch-parity path.
-            score_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+            score_dtype = q.dtype  # bf16 scores in bf16 mode, f32 in f32 mode
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
             scores = (scores / math.sqrt(head_dim)).astype(score_dtype)
             if key_padding_mask is not None:

@@ -249,13 +249,16 @@ def run_bench(device) -> dict:
     _block(out)
     sustained = sus_bs * iters / (time.perf_counter() - t0)
 
-    # ---- spectrum-presence routed sustained (the headline): only ~30% of
-    # stream alerts carry a spectrum; alerts without one take a pipeline
-    # that skips SpectraNet (61% of the fusion forward) and the spectra
-    # resample — outputs exactly equal the monolithic pipeline
-    # (test_stream.py::test_routed_stream_matches_monolithic). Each router
-    # call packs, dispatches both sub-batches, and materializes results to
-    # the host — a full per-batch production cadence, no hidden queueing.
+    # ---- spectrum-presence routed sustained: only ~30% of stream alerts
+    # carry a spectrum; alerts without one take a pipeline that skips
+    # SpectraNet (61% of the fusion forward) and the spectra resample —
+    # outputs exactly equal the monolithic pipeline
+    # (test_stream.py::test_routed_stream_matches_monolithic). The loop is
+    # a depth-3 pipelined feeder: up to 3 batches in flight, results
+    # materialized to the host every iteration. (The monolithic loop above
+    # queues ALL its dispatches and syncs once — an unbounded-depth upper
+    # bound; the depths are recorded in the JSON so the two columns aren't
+    # read as the same cadence.)
     from applecider_tpu.infer.stream import RoutedAlertStream
 
     sustained_routed = 0.0
@@ -373,7 +376,9 @@ def run_bench(device) -> dict:
         "vs_baseline": round(value / BASELINE_ALERTS_PER_SEC, 3),
         "spectrum_frac": 0.3,
         "sustained_routed_alerts_per_sec": round(sustained_routed, 1),
+        "routed_pipeline_depth": 3,  # batches in flight; results consumed per iter
         "sustained_monolithic_alerts_per_sec": round(sustained, 1),
+        "monolithic_queue_depth": "unbounded",  # all dispatches queued, one final sync
         "device_routed_alerts_per_sec": round(device_routed, 1),
         "sustained_batch_size": sus_bs,
         "device_pipeline_alerts_per_sec": round(e2e_best[0], 1),

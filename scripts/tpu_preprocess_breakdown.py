@@ -23,15 +23,22 @@ def emit(**kw):
 
 
 def timed(fn, *args, iters=8):
+    """Chain-amortized with host materialization (block_until_ready does
+    not sync through the relay — KERNEL_NOTES measurement rule #1)."""
     import jax
 
-    jax.block_until_ready(fn(*args))
-    ts = []
+    def sync(o):
+        leaf = jax.tree.leaves(o)[0]
+        idx = tuple(0 for _ in range(getattr(leaf, "ndim", 0)))
+        np.asarray(leaf[idx] if idx else leaf)
+
+    sync(fn(*args))  # compile + sync
+    t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts) * 1e3)
+        out = fn(*args)
+    sync(out)
+    return float((time.perf_counter() - t0) / iters * 1e3)
 
 
 def main():

@@ -324,7 +324,7 @@ def test_resample_nonuniform_grid_falls_back(rng):
 
 
 def test_median_no_sort_matches_jnp_median(rng):
-    """Bisection median == jnp.median to f32 resolution, across sizes,
+    """Histogram median == jnp.median to f32 resolution, across sizes,
     duplicates, and scales."""
     from applecider_tpu.infer.stream import _median_no_sort
 
@@ -337,3 +337,42 @@ def test_median_no_sort_matches_jnp_median(rng):
         got = float(_median_no_sort(jnp.asarray(x)))
         want = float(np.median(x))
         assert abs(got - want) <= 1e-5 * max(scale, 1.0), (trial, n, got, want)
+
+
+def test_median_no_sort_outlier_immune():
+    """Round-3 review regression: a single huge outlier blows the value
+    range, and a raw bucket-width interval (range/bins^passes) leaves the
+    median wrong by ~range/2^28. The in-bucket data clamp must keep the
+    result exact regardless of outlier magnitude."""
+    from applecider_tpu.infer.stream import _median_no_sort
+
+    cases = [
+        np.asarray([2.5] * 101 + [1e8], np.float32),
+        np.asarray([0.0] * 100 + [1e30], np.float32),
+        np.asarray([-1e30] + [7.0] * 33, np.float32),
+        np.asarray([1e30, -1e30] + [3.25] * 11, np.float32),
+    ]
+    for x in cases:
+        got = float(_median_no_sort(jnp.asarray(x)))
+        want = float(np.median(x))
+        assert abs(got - want) <= 1e-5 * max(abs(want), 1.0), (got, want)
+
+
+def test_s2d_conv_matches_direct(rng):
+    """conv1d_s2d (space-to-depth polyphase rewrite) == conv1d_direct —
+    the equivalence the op's docstring promises, across kernel sizes,
+    channel counts, block sizes, and the SpectraNet stage-0 shape."""
+    from applecider_tpu.ops.conv1d import conv1d_direct, conv1d_s2d
+
+    for L, K, cin, cout, R in [
+        (40, 7, 1, 4, 8), (3481, 1021, 1, 8, 8), (3481, 61, 1, 8, 8),
+        (870, 251, 16, 8, 8), (100, 3, 3, 5, 4), (13, 13, 8, 8, 8),
+    ]:
+        x = rng.normal(size=(2, L, cin)).astype(np.float32)
+        w = rng.normal(size=(K, cin, cout)).astype(np.float32)
+        b = rng.normal(size=(cout,)).astype(np.float32)
+        y0 = np.asarray(conv1d_direct(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+        y1 = np.asarray(conv1d_s2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), block=R))
+        denom = max(float(np.abs(y0).max()), 1e-9)
+        np.testing.assert_allclose(y1 / denom, y0 / denom, rtol=0, atol=2e-6,
+                                   err_msg=f"L={L} K={K} cin={cin} cout={cout} R={R}")
