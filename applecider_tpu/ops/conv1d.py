@@ -140,7 +140,7 @@ def conv1d_direct(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None
 
 
 def conv1d_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
-               block: int = 8) -> jax.Array:
+               block: int = 32) -> jax.Array:
     """'same' cross-correlation via space-to-depth (polyphase) decomposition.
 
     Rewrites the length-L, kernel-K conv as a length-L/R conv with R-fold
@@ -156,6 +156,16 @@ def conv1d_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
 
     Derivation: y[R*m + r, o] = sum_{d,p,ci} xr[m+d, p, ci] * w2[d, p*Cin+ci, r*C+o]
     where w2 taps w at R*d + p - r + K//2 (zero outside [0, K)).
+
+    WARNING — XLA TPU miscompile at block=8: with the resulting long
+    window (D = K/8 + 2, e.g. 129 taps) over few channels at batch >= ~64,
+    the TPU backend returns wrong/zero values for the last D output blocks
+    (reproduced in f32 AND bf16, with both conv-attribute and explicit
+    input padding; CPU and batch<=8 are exact; host-f64 oracle sides with
+    conv1d_direct). block=32 (default) is verified clean at every measured
+    shape and is also the fastest variant (1.63x over direct at the
+    K=1021/cin=1 stage-0 shape). Exact equivalence with ``conv1d_direct``
+    is unit-tested on CPU (tests/test_stream.py::test_s2d_conv_matches_direct).
     """
     B, L, Cin = x.shape
     K, _, C = kernel.shape
@@ -181,10 +191,17 @@ def conv1d_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None,
 
     xp = jnp.pad(x, ((0, 0), (0, M * R - L), (0, 0)))
     xr = xp.reshape(B, M, R * Cin)
+    # pad EXPLICITLY rather than via the conv's padding attribute: XLA TPU
+    # silently dropped the high-padding window contributions of this
+    # (window=129, pad=(64,64), M=436) conv at batch >= ~64 — the last D
+    # output blocks came back wrong/zero while CPU and small batches were
+    # exact (round-3 finding, reproduced in f32 and bf16; host-f64 oracle
+    # sided with conv1d_direct). Explicit jnp.pad + VALID sidesteps it.
+    xr = jnp.pad(xr, ((0, 0), (-d_min, d_max), (0, 0)))
     y = lax.conv_general_dilated(
         xr, w2.astype(x.dtype),
         window_strides=(1,),
-        padding=[(-d_min, d_max)],
+        padding=[(0, 0)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         # same VJP constraint as conv1d_direct: no f32 store for bf16 operands
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,

@@ -203,7 +203,7 @@ def bench_conv_s2d(batch=256, dtype="bfloat16"):
         x = jnp.asarray(rng.normal(size=(batch, L, cin)), dtype=dtype)
         w = jnp.asarray(rng.normal(size=(K, cin, cout)) / np.sqrt(cin * K), jnp.float32)
         direct = jax.jit(lambda x, w: conv1d_direct(x, w))
-        s2d = jax.jit(lambda x, w: conv1d_s2d(x, w, block=8))
+        s2d = jax.jit(lambda x, w: conv1d_s2d(x, w, block=32))  # 8 miscompiles on TPU
         a = np.asarray(direct(x, w), np.float32)  # numerics before timing
         b = np.asarray(s2d(x, w), np.float32)
         denom = max(float(np.abs(a).max()), 1e-6)
