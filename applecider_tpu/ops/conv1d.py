@@ -37,12 +37,14 @@ FFT_KERNEL_THRESHOLD = 16
 #        direct (MXU) won all 6 SpectraNet stage shapes, including K=1021
 #        where FFT was 3.7x faster on CPU (fft_speedup 0.11-0.69 on chip).
 #        41.05 is the misroute-cost-minimizing penalty from
-#        bench_kernels.py's auto-calibration; 0 rows misrouted.
-#        Accuracy NOTE (ground-truthed vs host f64): TPU FFT is the MOST
-#        accurate path on chip (f32 FFT == host f64 at K=1021; bf16 1.3e-3),
-#        while f32 direct conv lowers to 1-pass bf16 on the MXU (1.8e-3) —
-#        for full-f32 TPU parity use jax.default_matmul_precision('highest')
-#        or conv_mode='fft'.
+#        bench_kernels.py's auto-calibration; 0 rows misrouted. The penalty
+#        is kept for the record, but routing on TPU is additionally
+#        HARD-GATED to direct in _fft_wins: the TPU FFT conv path returns
+#        numerically WRONG results at batch >= ~64 (an XLA TPU bug,
+#        host-f64-oracled; fine at batch 8 and on CPU — KERNEL_NOTES).
+#        Accuracy NOTE: f32 direct conv on TPU lowers to 1-pass bf16 on
+#        the MXU (1.8e-3 vs host f64) — for full-f32 TPU parity use
+#        jax.default_matmul_precision('highest').
 # Resolved lazily so importing this module never touches the jax backend
 # (a wedged TPU tunnel would hang import-time backend init).
 _PENALTY_DEFAULTS = {"cpu": 6.0, "tpu": 41.05}
@@ -99,6 +101,17 @@ def _fft_wins(L: int, K: int, cin: int, cout: int, batch: int = 64) -> bool:
     """
     if K < FFT_KERNEL_THRESHOLD:
         return False
+    # HARD CORRECTNESS GATE, not a performance heuristic: the TPU FFT conv
+    # path returns garbage at batch >= ~64 (measured round 3: 86% of
+    # elements wrong at (64, 3481)x K=1021, host-f64 oracle sides with
+    # direct; batch 8 is numerically fine — an XLA TPU FFT bug, like the
+    # block=8 s2d conv miscompile; see docs/KERNEL_NOTES.md). Timing-wise
+    # direct also won every measured TPU shape, so nothing is lost.
+    try:
+        if jax.default_backend() == "tpu":
+            return False
+    except Exception:
+        pass
     n = _next_fast_len(L + K - 1)
     nf = n // 2 + 1
     nlg = n * math.log2(n)
@@ -273,6 +286,21 @@ def conv1d(
     if mode == "fft" or (
         mode == "auto" and _fft_wins(x.shape[1], k, cin, cout, batch=x.shape[0])
     ):
+        if mode == "fft":
+            try:
+                on_tpu = jax.default_backend() == "tpu"
+            except Exception:
+                on_tpu = False
+            if on_tpu:
+                import warnings
+
+                warnings.warn(
+                    "conv_mode='fft' on TPU: the XLA TPU FFT conv path returned "
+                    "numerically wrong results at batch >= ~64 in round-3 "
+                    "measurements (docs/KERNEL_NOTES.md); 'auto' hard-routes "
+                    "direct on TPU — override at your own risk.",
+                    stacklevel=2,
+                )
         return conv1d_fft(x, kernel, bias, n=fft_len)
     return conv1d_direct(x, kernel, bias)
 

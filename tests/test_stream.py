@@ -358,6 +358,22 @@ def test_median_no_sort_outlier_immune():
         assert abs(got - want) <= 1e-5 * max(abs(want), 1.0), (got, want)
 
 
+def test_fft_conv_hard_gated_on_tpu(monkeypatch):
+    """Round-3 correctness gate: the XLA TPU FFT conv path returns wrong
+    results at batch >= ~64, so 'auto' must NEVER route FFT on TPU — even
+    under the frozen-kernel hint that makes the FFT model-cost tiny."""
+    import applecider_tpu.ops.conv1d as c
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    c._penalty_cache = None  # drop any cached CPU penalty
+    try:
+        assert not c._fft_wins(3481, 1021, 1, 64, batch=256)
+        with c.frozen_kernel_hint(True):
+            assert not c._fft_wins(3481, 1021, 1, 64, batch=1)
+    finally:
+        c._penalty_cache = None
+
+
 def test_s2d_conv_matches_direct(rng):
     """conv1d_s2d (space-to-depth polyphase rewrite) == conv1d_direct —
     the equivalence the op's docstring promises, across kernel sizes,
