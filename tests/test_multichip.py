@@ -152,3 +152,43 @@ def test_stream_pipeline_sharded_matches_single(tmp_path):
     out = sharded(params, raw)
     assert len({s.device for s in out.addressable_shards}) == 8
     np.testing.assert_allclose(np.asarray(out), probs_plain, rtol=2e-5, atol=2e-6)
+
+
+def test_routed_stream_sharded_matches_single():
+    """RoutedAlertStream composes with a data mesh: both sub-pipelines
+    shard their sub-batches over the mesh and the routed results equal the
+    unsharded router's, in input order."""
+    from applecider_tpu.infer.stream import RoutedAlertStream
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _fusion_batch, _fusion_task
+
+    rng = np.random.default_rng(5)
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    params = task.init(jax.random.PRNGKey(0), _fusion_batch(4, tiny=True))["params"]
+    grid = np.linspace(4500.0, 7980.0, 128).astype(np.float32)
+
+    samples = []
+    for i in range(12):
+        t = np.sort(rng.uniform(0, 30, 20)).astype(np.float32)
+        s = {
+            "photo_t": t,
+            "photo_flux": rng.uniform(1, 100, 20).astype(np.float32),
+            "photo_err": rng.uniform(0.1, 2, 20).astype(np.float32),
+            "photo_band": rng.integers(0, 3, 20).astype(np.int32),
+            "image": rng.normal(size=(63, 63, 3)).astype(np.float32),
+            "meta19": rng.normal(size=19).astype(np.float32),
+        }
+        if i % 3 == 0:  # 4 of 12 carry spectra -> sub-batches of 4 and 8
+            s["spec_wl"] = np.sort(rng.uniform(4000, 8500, 60)).astype(np.float32)
+            s["spec_flux"] = rng.normal(size=60).astype(np.float32)
+        samples.append(s)
+
+    plain = RoutedAlertStream(task, batch_buckets=(4, 8), wave_grid=grid)
+    want = plain(params, samples)
+
+    mesh = make_mesh(shape=(4, 1))
+    routed = RoutedAlertStream(task, batch_buckets=(4, 8), wave_grid=grid, mesh=mesh)
+    got = routed(params, samples)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
