@@ -416,7 +416,8 @@ class AlertStreamPipeline:
 
     def __init__(self, task, stats_mean=None, stats_std=None, dt_hours: float = 12.0,
                  wave_grid: Optional[np.ndarray] = None, mesh=None,
-                 freeze_params_with=None, skip_spectra: bool = False):
+                 freeze_params_with=None, skip_spectra: bool = False,
+                 compact_spectra: bool = False):
         """``mesh``: optional ``jax.sharding.Mesh`` — the raw batch shards
         dim-0 over the ``data`` axis (params replicated), so one pipeline
         call fans out over every chip of a pod slice.
@@ -450,6 +451,20 @@ class AlertStreamPipeline:
         # the resample/MAD preprocess is skipped entirely. Exactness vs the
         # full pipeline on zero-spectrum batches is unit-tested.
         self.skip_spectra = bool(skip_spectra)
+        # compact_spectra: the raw batch carries a compact (S+1, max_spec)
+        # spectra block (row 0 = zero spectrum) + spec_has (S+1,) +
+        # spec_gather (B,) instead of per-sample (B, max_spec) spectra.
+        # SpectraNet runs at S+1 and the embeddings gather back to B inside
+        # the fusion module (FusedSpectraStream packs this layout).
+        self.compact_spectra = bool(compact_spectra)
+        if self.compact_spectra and self.skip_spectra:
+            raise ValueError("compact_spectra and skip_spectra are mutually exclusive")
+        if self.compact_spectra and mesh is not None:
+            raise ValueError(
+                "compact_spectra does not compose with mesh yet: the compact "
+                "spectra block's dim 0 is S+1, which the data-axis batch "
+                "sharding cannot split consistently with B"
+            )
         self._placed_params = None
         self._placed_src = None
         # frozen BN running stats (e.g. imported tri-pool fusion) snapshot
@@ -486,8 +501,15 @@ class AlertStreamPipeline:
         ctx5 = ctx[:, [0, 1, 3, 4, 6]]
         metadata = jnp.concatenate([raw["meta19"], ctx5], axis=1)
 
+        extra = {}
         if self.skip_spectra:
             spectra = jnp.zeros((1, self.grid.shape[0]), jnp.float32)
+        elif self.compact_spectra:
+            spectra = jax.vmap(
+                partial(resample_spectrum, grid=self.grid, assume_sorted=True)
+            )(raw["spec_wl"], raw["spec_flux"], raw["spec_valid"])
+            spectra = jnp.where(raw["spec_has"][:, None], spectra, 0.0)
+            extra["spec_gather"] = raw["spec_gather"]
         else:
             spectra = jax.vmap(
                 partial(resample_spectrum, grid=self.grid, assume_sorted=True)
@@ -500,7 +522,7 @@ class AlertStreamPipeline:
         logits = self.task.module.apply(
             variables,
             photometry, pad_mask, metadata, raw["image"], spectra,
-            deterministic=True,
+            deterministic=True, **extra,
         )
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
@@ -744,3 +766,113 @@ class RoutedAlertStream:
             return probs
 
         return resolve
+
+
+class FusedSpectraStream:
+    """Single-program spectrum-presence routing via a compact spectra block.
+
+    ``RoutedAlertStream`` splits each batch and runs TWO full pipelines —
+    which duplicates the photometry transformer and the image/metadata
+    towers across sub-batches, pays two D2H roundtrips, and runs SpectraNet
+    on an underfilled minority bucket at realistic spectrum fractions
+    (measured: the frac-0.1 device-routed rate is 4.1k alerts/s where a
+    FLOP extrapolation predicts 6-8k; `tpu_results/spectrum_frac_r3.jsonl`).
+
+    This variant keeps ONE jitted program per (batch, photometry-bucket,
+    spectra-bucket) shape:
+
+      * the shared encoders (photometry / image / metadata) run on the FULL
+        batch — no duplication, full MXU occupancy;
+      * SpectraNet + the spectra resample run on a compact ``(S+1, W)``
+        block holding only the spectra that exist (row 0 is the zero
+        spectrum, S buckets over ``spec_buckets``);
+      * the ``(S+1, h)`` spectra embeddings gather back to ``(B, h)`` with
+        a precomputed index map (0 for spectrum-less rows) inside the
+        fusion module (``AppleCiderModule.__call__ spec_gather``) — every
+        SpectraNet op is per-sample, so outputs are EXACTLY the monolithic
+        pipeline's (unit-tested: mixed / all / none, padding rows).
+
+    Same feeder API as ``RoutedAlertStream``: ``submit`` / ``place`` +
+    ``run_placed`` / ``__call__``.
+    """
+
+    def __init__(self, task, spec_buckets=(0, 4, 8, 16, 32, 64, 128, 256, 512),
+                 max_spec: int = 512, **pipeline_kw):
+        self.pipe = AlertStreamPipeline(task, compact_spectra=True, **pipeline_kw)
+        self.spec_buckets = tuple(sorted(spec_buckets))
+        self.max_spec = int(max_spec)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.spec_buckets:
+            if b >= n:
+                return b
+        return n
+
+    def place(self, samples: list[dict], length_buckets=None,
+              image_dtype=np.float32, device=None):
+        """Pack the full batch + compact spectra block + gather map, then
+        device_put WITHOUT dispatching."""
+        import jax
+
+        # full-batch pack at max_spec=1: the per-sample spectra columns are
+        # replaced by the compact block below, so don't pay their packing
+        raw = pack_alert_batch(samples, max_spec=1,
+                               length_buckets=length_buckets,
+                               image_dtype=image_dtype)
+        for k in ("spec_wl", "spec_flux", "spec_valid", "has_spectrum"):
+            del raw[k]
+
+        B = len(samples)
+        W = self.max_spec
+        spec_idx = [i for i, s in enumerate(samples) if _has_spectrum(s)]
+        S = self._bucket(len(spec_idx))
+        wl = np.zeros((S + 1, W), np.float32)
+        fx = np.zeros((S + 1, W), np.float32)
+        vd = np.zeros((S + 1, W), bool)
+        has = np.zeros((S + 1,), bool)
+        gather = np.zeros((B,), np.int32)
+        if spec_idx:
+            # same flat-concat + one-lexsort packing as pack_alert_batch:
+            # the device skips its argsort (assume_sorted contract)
+            slens = np.fromiter(
+                (min(len(samples[i]["spec_wl"]), W) for i in spec_idx),
+                np.int64, count=len(spec_idx),
+            )
+            wl_all = np.concatenate(
+                [np.asarray(samples[i]["spec_wl"], np.float32)[:W] for i in spec_idx]
+            )
+            fx_all = np.concatenate(
+                [np.asarray(samples[i]["spec_flux"], np.float32)[:W] for i in spec_idx]
+            )
+            srows = np.repeat(1 + np.arange(len(spec_idx), dtype=np.int64), slens)
+            sstarts = np.concatenate([[0], np.cumsum(slens)[:-1]])
+            scols = np.arange(wl_all.shape[0], dtype=np.int64) - np.repeat(sstarts, slens)
+            sorder = np.lexsort((wl_all, srows))
+            wl[srows, scols] = wl_all[sorder]
+            fx[srows, scols] = fx_all[sorder]
+            vd[srows, scols] = True
+            has[1:len(spec_idx) + 1] = True
+            gather[np.asarray(spec_idx)] = 1 + np.arange(len(spec_idx), dtype=np.int32)
+        raw.update(spec_wl=wl, spec_flux=fx, spec_valid=vd,
+                   spec_has=has, spec_gather=gather)
+        put = (lambda v: jax.device_put(v, device)) if device is not None \
+            else jax.device_put
+        return {k: put(v) for k, v in raw.items()}
+
+    def run_placed(self, params, placed):
+        """Dispatch a ``place()``d batch; returns a zero-arg resolver."""
+        out = self.pipe(params, placed)
+        return lambda: np.asarray(out)
+
+    def submit(self, params, samples: list[dict], length_buckets=None,
+               image_dtype=np.float32):
+        return self.run_placed(
+            params,
+            self.place(samples, length_buckets=length_buckets,
+                       image_dtype=image_dtype),
+        )
+
+    def __call__(self, params, samples: list[dict], length_buckets=None,
+                 image_dtype=np.float32) -> np.ndarray:
+        return self.submit(params, samples, length_buckets=length_buckets,
+                           image_dtype=image_dtype)()

@@ -58,6 +58,7 @@ class AppleCiderModule(nn.Module):
     def __call__(
         self, photometry, photo_mask, metadata, images, spectra,
         *, deterministic: bool = True, return_embeddings: bool = False,
+        spec_gather=None,
     ):
         p = self.photometry_encoder(photometry, photo_mask, deterministic=deterministic)
         s = self.spectra_encoder(spectra, deterministic=deterministic)
@@ -67,11 +68,19 @@ class AppleCiderModule(nn.Module):
         s_emb = l2_normalize(Linear(self.hidden_dim, name="spectra_proj")(s))
         im_emb = l2_normalize(Linear(self.hidden_dim, name="img_metadata_proj")(im))
 
-        # spectrum-presence routing support (infer/stream.RoutedAlertStream):
-        # a batch whose samples all lack spectra passes ONE zero spectrum —
-        # every SpectraNet op is per-sample, so the (1, h) embedding is
-        # exactly what a (B, h) zero batch would produce row-wise
-        if s_emb.shape[0] == 1 and p_emb.shape[0] != 1:
+        # spectrum-presence routing support (infer/stream):
+        # * spec_gather (FusedSpectraStream): ``spectra`` is a compact
+        #   (S+1, G) block — row 0 the zero spectrum, rows 1..S the real
+        #   spectra — and spec_gather maps each batch row to its block row
+        #   (0 for spectrum-less samples). Every SpectraNet op is
+        #   per-sample, so gathering the (S+1, h) embeddings back to
+        #   (B, h) is exactly the full-batch computation.
+        # * 1-row broadcast (RoutedAlertStream skip_spectra): a batch whose
+        #   samples ALL lack spectra passes ONE zero spectrum and the
+        #   (1, h) embedding broadcasts row-wise.
+        if spec_gather is not None:
+            s_emb = s_emb[spec_gather]
+        elif s_emb.shape[0] == 1 and p_emb.shape[0] != 1:
             s_emb = jnp.broadcast_to(s_emb, (p_emb.shape[0], s_emb.shape[-1]))
 
         if return_embeddings:

@@ -241,6 +241,55 @@ def test_routed_stream_matches_monolithic(rng):
                                    err_msg=f"flags={flags}")
 
 
+def test_fused_spectra_stream_matches_monolithic(rng):
+    """The single-program compact-spectra router (shared encoders at full
+    batch, SpectraNet on the (S+1) block, gather back) returns the
+    monolithic pipeline's probabilities across mixed / all-spec / no-spec /
+    empty batches, including spectra-bucket padding rows."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _fusion_batch, _fusion_task
+
+    from applecider_tpu.infer.stream import (
+        AlertStreamPipeline, FusedSpectraStream, pack_alert_batch,
+    )
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    params = task.init(jax.random.PRNGKey(0), _fusion_batch(4, tiny=True))["params"]
+    grid = np.linspace(4500.0, 7980.0, 128).astype(np.float32)
+    mono = AlertStreamPipeline(task, wave_grid=grid)
+    fused = FusedSpectraStream(task, spec_buckets=(0, 2, 4, 8), wave_grid=grid)
+
+    def mk_samples(n, spec_flags):
+        samples = []
+        for i in range(n):
+            t = np.sort(rng.uniform(0, 30, 20)).astype(np.float32)
+            s = {
+                "photo_t": t,
+                "photo_flux": rng.uniform(1, 100, 20).astype(np.float32),
+                "photo_err": rng.uniform(0.1, 2, 20).astype(np.float32),
+                "photo_band": rng.integers(0, 3, 20).astype(np.int32),
+                "image": rng.normal(size=(63, 63, 3)).astype(np.float32),
+                "meta19": rng.normal(size=19).astype(np.float32),
+            }
+            if spec_flags[i]:
+                s["spec_wl"] = np.sort(rng.uniform(4000, 8500, 80)).astype(np.float32)
+                s["spec_flux"] = rng.normal(size=80).astype(np.float32)
+            samples.append(s)
+        return samples
+
+    for flags in ([True, False, True, False, False], [True] * 3, [False] * 3):
+        samples = mk_samples(len(flags), flags)
+        want = np.asarray(mono(params, pack_alert_batch(samples, max_photo=32)))
+        got = fused(params, samples)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6,
+                                   err_msg=f"flags={flags}")
+
+    assert fused(params, []).shape[0] == 0
+
+
 def test_pointer_doubling_merge_flags_match_scan(rng):
     """The O(log P) pointer-doubling group-start computation is exactly the
     greedy scan, across random band patterns, duplicates, and edge cases."""
