@@ -796,7 +796,8 @@ class FusedSpectraStream:
     ``run_placed`` / ``__call__``.
     """
 
-    def __init__(self, task, spec_buckets=(0, 4, 8, 16, 32, 64, 128, 256, 512),
+    def __init__(self, task,
+                 spec_buckets=(0, 4, 8, 16, 32, 64, 96, 128, 192, 256, 384, 512),
                  max_spec: int = 512, **pipeline_kw):
         self.pipe = AlertStreamPipeline(task, compact_spectra=True, **pipeline_kw)
         self.spec_buckets = tuple(sorted(spec_buckets))

@@ -35,7 +35,7 @@ jax.config.update(
 
 from bench import BUCKETS, make_stream_samples  # noqa: E402
 from __graft_entry__ import _fusion_batch, _fusion_task  # noqa: E402
-from applecider_tpu.infer.stream import RoutedAlertStream  # noqa: E402
+from applecider_tpu.infer.stream import FusedSpectraStream, RoutedAlertStream  # noqa: E402
 
 
 def main() -> None:
@@ -51,7 +51,10 @@ def main() -> None:
 
     variables = task.init(jax.random.PRNGKey(0), _fusion_batch(batch_size=8))
     params = variables["params"]
-    router = RoutedAlertStream(task)
+    modes = [("fused", FusedSpectraStream(task)),
+             ("routed", RoutedAlertStream(task))]
+    if sys.argv[1:]:
+        modes = [m for m in modes if m[0] in sys.argv[1:]]
 
     bs = 256
     n_sets, iters, depth = 4, 24 if on_tpu else 3, 3
@@ -60,29 +63,31 @@ def main() -> None:
             make_stream_samples(bs, seed=10 + j, spectrum_frac=frac)
             for j in range(n_sets)
         ]
-        placed = [
-            router.place(s, length_buckets=BUCKETS, image_dtype=img_dtype)
-            for s in sample_sets
-        ]
-        for p in placed:  # compile + warm every bucket in every set
-            router.run_placed(params, p)()
-        pend: deque = deque()
-        t0 = time.perf_counter()
-        for i in range(iters):
-            pend.append(router.run_placed(params, placed[i % n_sets]))
-            if len(pend) > depth:
+        for name, router in modes:
+            placed = [
+                router.place(s, length_buckets=BUCKETS, image_dtype=img_dtype)
+                for s in sample_sets
+            ]
+            for p in placed:  # compile + warm every bucket in every set
+                router.run_placed(params, p)()
+            pend: deque = deque()
+            t0 = time.perf_counter()
+            for i in range(iters):
+                pend.append(router.run_placed(params, placed[i % n_sets]))
+                if len(pend) > depth:
+                    pend.popleft()()
+            while pend:
                 pend.popleft()()
-        while pend:
-            pend.popleft()()
-        rate = bs * iters / (time.perf_counter() - t0)
-        print(json.dumps({
-            "spectrum_frac": frac,
-            "device_routed_alerts_per_sec": round(rate, 1),
-            "batch_size": bs,
-            "iters": iters,
-            "pipeline_depth": depth,
-            "device": str(device),
-        }), flush=True)
+            rate = bs * iters / (time.perf_counter() - t0)
+            print(json.dumps({
+                "mode": name,
+                "spectrum_frac": frac,
+                "device_routed_alerts_per_sec": round(rate, 1),
+                "batch_size": bs,
+                "iters": iters,
+                "pipeline_depth": depth,
+                "device": str(device),
+            }), flush=True)
 
 
 if __name__ == "__main__":
