@@ -90,16 +90,47 @@ def _band_group_flags(t: jax.Array, is_band: jax.Array, dt_days: float) -> jax.A
     return jnp.zeros((P,), bool).at[pos].set(True, mode="drop")  # pos==P drops
 
 
+def _rank_compact(key: jax.Array) -> jax.Array:
+    """Stable ascending rank of every element — sort-free, gather-free.
+
+    ``rank[i] = #{j : key[j] < key[i]} + #{j < i : key[j] == key[i]}`` is
+    exactly the position ``jnp.argsort(key)`` (stable) would give element
+    i. O(N^2) compares on the VPU beat an O(N log N) vmapped argsort on
+    TPU for the merge's N = P+1 (a few hundred): no dynamic gathers, one
+    dense boolean reduction.
+    """
+    n = key.shape[0]
+    idx = jnp.arange(n)
+    lt = key[None, :] < key[:, None]              # (i, j): key[j] < key[i]
+    eq = (key[None, :] == key[:, None]) & (idx[None, :] < idx[:, None])
+    return jnp.sum(lt | eq, axis=-1).astype(jnp.int32)
+
+
 def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: float = 1e-8,
-                      assume_sorted: bool = False):
+                      assume_sorted: bool = False, flags_impl: str = "auto",
+                      compact_impl: str = "auto"):
     """One sample: (P,) arrays -> merged (P,) arrays + valid mask.
 
     Returns (t_m, f_m, e_m, band_m, valid_m) sorted by merged time, padded
     with +inf times / zero flux. ``assume_sorted=True`` skips the input
     reorder when the caller guarantees time-ascending valid-prefix layout
     (``pack_alert_batch`` does).
+
+    ``flags_impl``: "doubling" (O(log P) pointer doubling — wins for
+    single-sample latency), "scan" (O(P) lax.scan — wins under vmap on TPU,
+    where the doubling variant's per-row dynamic gathers dominated the
+    whole serving pipeline: 35 ms of a 45 ms batch-256 step), or "auto"
+    (scan on TPU, doubling elsewhere). ``compact_impl``: "argsort",
+    "rank" (O(P^2) compare-matrix stable rank + scatter — gather/sort-free),
+    or "auto" (rank on TPU). All variants are exactly equivalent (tested).
     """
     P = t.shape[0]
+    if flags_impl == "auto" or compact_impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if flags_impl == "auto":
+            flags_impl = "scan" if on_tpu else "doubling"
+        if compact_impl == "auto":
+            compact_impl = "rank" if on_tpu else "argsort"
     if not assume_sorted:
         # order by time with invalid at the tail (the reference's host merge
         # sorts by time first; this also discharges the pointer-doubling
@@ -116,7 +147,10 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
     seg_ids = jnp.full((P,), P, dtype=jnp.int32)  # overflow for invalid
     for b in range(N_BANDS):
         is_b = valid & (band == b)
-        flags = _band_group_flags(t_sorted, is_b, dt_days)
+        if flags_impl == "scan":
+            flags = _band_group_flags_scan(t_sorted, is_b, dt_days)
+        else:
+            flags = _band_group_flags(t_sorted, is_b, dt_days)
         marker = jnp.where(flags, positions, -1)
         latest_start = jax.lax.associative_scan(jnp.maximum, marker)
         seg_ids = jnp.where(is_b, latest_start, seg_ids)
@@ -136,6 +170,13 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
 
     # compact: sort segments by time (invalid -> +inf), keep first P
     key = jnp.where(seg_valid, t_m, jnp.inf)
+    if compact_impl == "rank":
+        # ranks are a permutation of [0, P]; scattering with unique target
+        # slots fills every output row exactly once (rank == P drops)
+        rank = _rank_compact(key)
+        def put(v):
+            return jnp.zeros((P,), v.dtype).at[rank].set(v, mode="drop")
+        return (put(t_m), put(f_m), put(e_m), put(seg_band), put(seg_valid))
     order = jnp.argsort(key)[:P]
     return (
         t_m[order], f_m[order], e_m[order],

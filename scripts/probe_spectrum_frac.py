@@ -56,7 +56,7 @@ def main() -> None:
     if sys.argv[1:]:
         modes = [m for m in modes if m[0] in sys.argv[1:]]
 
-    bs = 256
+    bs = int(os.environ.get("PROBE_BS", "256"))
     n_sets, iters, depth = 4, 24 if on_tpu else 3, 3
     for frac in (0.3, 0.1, 0.0):
         sample_sets = [

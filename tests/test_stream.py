@@ -290,6 +290,36 @@ def test_fused_spectra_stream_matches_monolithic(rng):
     assert fused(params, []).shape[0] == 0
 
 
+def test_merge_variants_exactly_equivalent(rng):
+    """flags_impl x compact_impl variants of merge_light_curve return
+    bit-identical outputs (the TPU auto default routes to scan+rank; CPU
+    to doubling+argsort)."""
+    from applecider_tpu.infer.stream import merge_light_curve
+
+    for trial in range(8):
+        P = int(rng.integers(3, 70))
+        n_valid = int(rng.integers(0, P + 1))
+        t = np.sort(rng.uniform(0, 30, P)).astype(np.float32)
+        t[n_valid:] = np.inf
+        args = (
+            jnp.asarray(t),
+            jnp.asarray(rng.uniform(1, 100, P).astype(np.float32)),
+            jnp.asarray(rng.uniform(0.1, 2, P).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 3, P).astype(np.int32)),
+            jnp.asarray(np.arange(P) < n_valid),
+        )
+        base = merge_light_curve(*args, assume_sorted=True,
+                                 flags_impl="doubling", compact_impl="argsort")
+        for fi in ("doubling", "scan"):
+            for ci in ("argsort", "rank"):
+                got = merge_light_curve(*args, assume_sorted=True,
+                                        flags_impl=fi, compact_impl=ci)
+                for a, b in zip(base, got):
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b),
+                        err_msg=f"trial={trial} {fi}/{ci}")
+
+
 def test_pointer_doubling_merge_flags_match_scan(rng):
     """The O(log P) pointer-doubling group-start computation is exactly the
     greedy scan, across random band patterns, duplicates, and edge cases."""
