@@ -259,11 +259,15 @@ def run_bench(device) -> dict:
     # queues ALL its dispatches and syncs once — an unbounded-depth upper
     # bound; the depths are recorded in the JSON so the two columns aren't
     # read as the same cadence.)
-    from applecider_tpu.infer.stream import RoutedAlertStream
+    # fused single-program routing: shared encoders at full batch,
+    # SpectraNet on the compact spectra block, gather back — measured 2.0x
+    # over the split RoutedAlertStream at the realistic 10%-spectra mix
+    # (tpu_results/fused_vs_routed_fastmerge_r3.jsonl); outputs identical
+    from applecider_tpu.infer.stream import FusedSpectraStream
 
     sustained_routed = 0.0
     if not over_budget():
-        router = RoutedAlertStream(task)
+        router = FusedSpectraStream(task)
         for s in sample_sets:  # pre-compile both pipelines' buckets
             router(params, s, length_buckets=BUCKETS, image_dtype=img_dtype)
         # 3-deep pipelining: keep three batches in flight before resolving
@@ -304,6 +308,26 @@ def run_bench(device) -> dict:
         while pend:
             pend.popleft()()
         device_routed = sus_bs * iters / (time.perf_counter() - t0)
+
+    # ---- same loop at the realistic live-stream mix (~10% of ZTF alerts
+    # carry a contemporaneous spectrum; spectra are a per-object product)
+    device_routed_frac01 = 0.0
+    if device_routed > 0 and not over_budget():
+        sets01 = [make_stream_samples(sus_bs, seed=30 + j, spectrum_frac=0.1)
+                  for j in range(n_sets)]
+        placed01 = [router.place(s, length_buckets=BUCKETS, image_dtype=img_dtype)
+                    for s in sets01]
+        for p01 in placed01:
+            router.run_placed(params, p01)()  # compile + warm each bucket
+        pend01: deque = deque()
+        t0 = time.perf_counter()
+        for i in range(iters):
+            pend01.append(router.run_placed(params, placed01[i % n_sets]))
+            if len(pend01) > depth:
+                pend01.popleft()()
+        while pend01:
+            pend01.popleft()()
+        device_routed_frac01 = sus_bs * iters / (time.perf_counter() - t0)
 
     # ---- honest p50 per-alert latency: pack ONE alert + pipeline + block
     single_samples = make_stream_samples(40, seed=3)
@@ -380,6 +404,8 @@ def run_bench(device) -> dict:
         "sustained_monolithic_alerts_per_sec": round(sustained, 1),
         "monolithic_queue_depth": "unbounded",  # all dispatches queued, one final sync
         "device_routed_alerts_per_sec": round(device_routed, 1),
+        "device_routed_frac01_alerts_per_sec": round(device_routed_frac01, 1),
+        "routing_mode": "fused",  # FusedSpectraStream single-program routing
         "sustained_batch_size": sus_bs,
         "device_pipeline_alerts_per_sec": round(e2e_best[0], 1),
         "device_pipeline_batch_size": e2e_best[1],
