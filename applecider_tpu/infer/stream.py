@@ -237,6 +237,14 @@ def featurize_events(t_m, f_m, e_m, band_m, valid_m):
 def _median_no_sort(x, passes: int = 4, bins: int = 128):
     """Median of a 1-D array via histogram rank selection — no sort.
 
+    RETIRED from the hot path (round 3, late): measured at the compact
+    spectra block shape (129, 3481) this loses ~9x to ``_median_exact``
+    (lax.top_k) on BOTH TPU v5e (13.7 vs 1.5 ms) and the 1-core CPU image
+    (772 vs 95 ms), and its clamp-convergence guarantee is not airtight —
+    0.029 absolute error measured on a 3481-length N(0,100) row with one
+    1e30 outlier (tpu_results/median_ab_r3.jsonl). Kept as the loop-free
+    evidence/reference implementation; see its unit tests.
+
     On TPU a 3481-length sort is ~log^2(n) bitonic passes, and sequential
     while-loop steps cost ~0.4 ms each at batch 256 (overhead, not
     bandwidth — measured). A binary value-bisection needs 48 such steps;
@@ -317,10 +325,30 @@ def _resample_spectrum_reference(wl, flux, valid, grid):
     return _mad_normalize(out)
 
 
+def _median_exact(x):
+    """Exact median over the last axis via ``lax.top_k``.
+
+    Keep the top ``n//2 + 1`` values; their smallest one (odd n) or two
+    (even n) are exactly the central order statistics. Measured A/B at the
+    compact-spectra-block shape (129, 3481), tpu_results/median_ab_r3.jsonl:
+    top_k 1.5 ms vs the histogram rank selection's 13.7 ms on TPU v5e, and
+    95 ms vs 772 ms on the 1-core CPU image — top_k wins ~9x on BOTH
+    platforms, and it is exact by construction (the histogram's data-range
+    clamp measurably missed by 0.029 on a 3481-length row with a 1e30
+    outlier: 4 passes x 128 bins cannot always collapse the interval).
+    """
+    n = x.shape[-1]
+    k = n // 2 + 1
+    top = jax.lax.top_k(x, k)[0]
+    if n % 2:
+        return top[..., -1]
+    return 0.5 * (top[..., -1] + top[..., -2])
+
+
 def _mad_normalize(out):
     mean = jnp.mean(out)
-    med = _median_no_sort(out)
-    mad = _median_no_sort(jnp.abs(out - med))
+    med = _median_exact(out)
+    mad = _median_exact(jnp.abs(out - med))
     std = jnp.std(out)
     scale = jnp.where(mad > 0, mad, jnp.where(std > 0, std, 1.0))
     return (out - mean) / scale

@@ -437,6 +437,33 @@ def test_median_no_sort_outlier_immune():
         assert abs(got - want) <= 1e-5 * max(abs(want), 1.0), (got, want)
 
 
+def test_median_exact_matches_jnp_median(rng):
+    """The hot-path median (lax.top_k selection) is bitwise-exact vs
+    np.median across sizes, duplicates, scales, and the outlier shape the
+    histogram variant measurably missed (0.029 at (3481,) + 1e30 on TPU —
+    tpu_results/median_ab_r3.jsonl)."""
+    from applecider_tpu.infer.stream import _median_exact
+
+    for trial in range(20):
+        n = int(rng.integers(2, 4000))
+        scale = 10.0 ** rng.integers(-3, 4)
+        x = (rng.normal(size=n) * scale).astype(np.float32)
+        if trial % 4 == 0:
+            x[: n // 2] = x[0]  # heavy duplicates
+        got = float(_median_exact(jnp.asarray(x)))
+        want = float(np.median(x))
+        assert got == want, (trial, n, got, want)
+
+    big = (rng.normal(size=3481) * 100).astype(np.float32)
+    big[7] = 1e30  # the histogram-median regression shape
+    assert float(_median_exact(jnp.asarray(big))) == float(np.median(big))
+    # batched form (the compact-spectra block path)
+    blk = (rng.normal(size=(5, 3481)) * 3).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_median_exact(jnp.asarray(blk))), np.median(blk, axis=-1)
+    )
+
+
 def test_fft_conv_hard_gated_on_tpu(monkeypatch):
     """Round-3 correctness gate: the XLA TPU FFT conv path returns wrong
     results at batch >= ~64, so 'auto' must NEVER route FFT on TPU — even
