@@ -294,11 +294,18 @@ def run_bench(device) -> dict:
     # and H2D — the production-representative number on a local-PCIe host
     # (H2D there is ~32 KB/alert at >10 GB/s; on this rig the network
     # relay's ~40 MB/s makes transfers the binding resource instead).
+    # Device-resident isn't relay-bound, so it runs at its own measured-best
+    # batch: 1024 on TPU (tpu_results/spectrum_frac_bs1024_postmedian_r3.jsonl
+    # — bigger batches keep winning once H2D is out of the loop).
+    routed_bs = 1024 if on_tpu else sus_bs
     device_routed = 0.0
     if sustained_routed > 0 and not over_budget():  # router exists + budget left
+        rsets = (sample_sets if routed_bs == sus_bs else
+                 [make_stream_samples(routed_bs, seed=20 + j) for j in range(n_sets)])
         placed_sets = [router.place(s, length_buckets=BUCKETS, image_dtype=img_dtype)
-                       for s in sample_sets]
-        router.run_placed(params, placed_sets[0])()  # warm
+                       for s in rsets]
+        for p in placed_sets:
+            router.run_placed(params, p)()  # compile + warm each bucket
         pend: deque = deque()
         t0 = time.perf_counter()
         for i in range(iters):
@@ -307,13 +314,13 @@ def run_bench(device) -> dict:
                 pend.popleft()()
         while pend:
             pend.popleft()()
-        device_routed = sus_bs * iters / (time.perf_counter() - t0)
+        device_routed = routed_bs * iters / (time.perf_counter() - t0)
 
     # ---- same loop at the realistic live-stream mix (~10% of ZTF alerts
     # carry a contemporaneous spectrum; spectra are a per-object product)
     device_routed_frac01 = 0.0
     if device_routed > 0 and not over_budget():
-        sets01 = [make_stream_samples(sus_bs, seed=30 + j, spectrum_frac=0.1)
+        sets01 = [make_stream_samples(routed_bs, seed=30 + j, spectrum_frac=0.1)
                   for j in range(n_sets)]
         placed01 = [router.place(s, length_buckets=BUCKETS, image_dtype=img_dtype)
                     for s in sets01]
@@ -327,7 +334,7 @@ def run_bench(device) -> dict:
                 pend01.popleft()()
         while pend01:
             pend01.popleft()()
-        device_routed_frac01 = sus_bs * iters / (time.perf_counter() - t0)
+        device_routed_frac01 = routed_bs * iters / (time.perf_counter() - t0)
 
     # ---- honest p50 per-alert latency: pack ONE alert + pipeline + block
     single_samples = make_stream_samples(40, seed=3)
@@ -405,6 +412,7 @@ def run_bench(device) -> dict:
         "monolithic_queue_depth": "unbounded",  # all dispatches queued, one final sync
         "device_routed_alerts_per_sec": round(device_routed, 1),
         "device_routed_frac01_alerts_per_sec": round(device_routed_frac01, 1),
+        "device_routed_batch_size": routed_bs,
         "routing_mode": "fused",  # FusedSpectraStream single-program routing
         "sustained_batch_size": sus_bs,
         "device_pipeline_alerts_per_sec": round(e2e_best[0], 1),
