@@ -946,3 +946,86 @@ class FusedSpectraStream:
                  image_dtype=np.float32) -> np.ndarray:
         return self.submit(params, samples, length_buckets=length_buckets,
                            image_dtype=image_dtype)()
+
+
+class LengthBinnedFeeder:
+    """Per-length-bucket batch accumulation over a stream router.
+
+    Every sample in a batch pads to the batch's longest light curve, so a
+    mixed live stream runs essentially ALL its batches at the top length
+    bucket. Binning alerts by light-curve length into homogeneous batches
+    lets each batch run at its own bucket's compiled pipeline — measured
+    fused rates at B=1024 / spectrum_frac 0.1 on TPU v5e
+    (tpu_results/length_bins_r3.jsonl): 24.2k alerts/s at bucket 64,
+    16.8k at 128, 14.7k at 192, a ~1.2x blended win over mixed batching
+    for the bench's P ~ U(20, 180) mix (larger for real ZTF streams,
+    which skew toward short early-alert light curves). Outputs are
+    EXACTLY those of the underlying router — binning only reorders which
+    batch a sample rides in, and padding is masked (unit-tested).
+
+    Usage::
+
+        feeder = LengthBinnedFeeder(FusedSpectraStream(task), params,
+                                    flush_bs=1024, length_buckets=BUCKETS)
+        for idx, sample in enumerate(stream):
+            for indices, resolver in feeder.submit([(idx, sample)]):
+                probs = resolver()          # (len(indices), C) in `indices` order
+        for indices, resolver in feeder.flush():
+            probs = resolver()
+
+    ``submit`` returns zero or more ``(indices, resolver)`` pairs as
+    bucket queues fill; the caller may defer calling resolvers to keep
+    multiple batches in flight (depth-pipelining). ``flush`` drains
+    partial queues, padding each to ``flush_bs`` with copies of its first
+    sample (the pad rows are sliced off before returning).
+    """
+
+    def __init__(self, router, params, flush_bs: int = 1024,
+                 length_buckets: tuple = (64, 128, 192, 257),
+                 image_dtype=np.float32, max_photo: int = 257):
+        self.router = router
+        self.params = params
+        self.flush_bs = int(flush_bs)
+        self.length_buckets = tuple(sorted(length_buckets))
+        self.image_dtype = image_dtype
+        self.max_photo = int(max_photo)
+        self._queues: dict[int, list] = {b: [] for b in self.length_buckets}
+
+    def _bucket_of(self, sample: dict) -> int:
+        n = min(len(sample["photo_t"]), self.max_photo)
+        for b in self.length_buckets:
+            if b >= n:
+                return b
+        return self.length_buckets[-1]
+
+    def _emit(self, bucket: int, pad: bool = False):
+        entries = self._queues[bucket]
+        self._queues[bucket] = []
+        indices = [i for i, _ in entries]
+        samples = [s for _, s in entries]
+        n_real = len(samples)
+        if pad and n_real < self.flush_bs:
+            samples = samples + [samples[0]] * (self.flush_bs - n_real)
+        placed = self.router.place(samples, length_buckets=(bucket,),
+                                   image_dtype=self.image_dtype)
+        inner = self.router.run_placed(self.params, placed)
+
+        def resolver(inner=inner, n_real=n_real):
+            return inner()[:n_real]
+
+        return indices, resolver
+
+    def submit(self, indexed_samples) -> list:
+        """Enqueue ``(index, sample)`` pairs; returns ready batches."""
+        ready = []
+        for idx, s in indexed_samples:
+            b = self._bucket_of(s)
+            self._queues[b].append((idx, s))
+            if len(self._queues[b]) >= self.flush_bs:
+                ready.append(self._emit(b))
+        return ready
+
+    def flush(self) -> list:
+        """Emit every non-empty partial queue (padded to ``flush_bs``)."""
+        return [self._emit(b, pad=True)
+                for b in self.length_buckets if self._queues[b]]

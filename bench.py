@@ -336,6 +336,45 @@ def run_bench(device) -> dict:
             pend01.popleft()()
         device_routed_frac01 = routed_bs * iters / (time.perf_counter() - t0)
 
+    # ---- length-binned steady state (LengthBinnedFeeder): homogeneous
+    # batches per light-curve-length bucket, scheduled in the stream's own
+    # bucket proportions. Mixed batches pad every sample to the batch max
+    # (~always the top bucket); binning runs each batch at its own bucket's
+    # pipeline — measured 24.2k/16.8k/14.7k alerts/s at buckets 64/128/192
+    # (tpu_results/length_bins_r3.jsonl). Outputs identical (unit-tested).
+    device_binned_frac01 = 0.0
+    if device_routed_frac01 > 0 and not over_budget():
+        pool = [s for ss in sets01 for s in ss] + [
+            s for j in range(n_sets)
+            for s in make_stream_samples(routed_bs, seed=50 + j, spectrum_frac=0.1)
+        ]
+        by_bucket: dict = {}
+        for s in pool:
+            n = min(len(s["photo_t"]), 257)
+            b = next(bb for bb in BUCKETS if bb >= n)
+            by_bucket.setdefault(b, []).append(s)
+        total = len(pool)
+        sched, frac_parts = [], []
+        for b, ss in sorted(by_bucket.items()):
+            batch = (ss * ((routed_bs + len(ss) - 1) // len(ss)))[:routed_bs]
+            placed_b = router.place(batch, length_buckets=(b,),
+                                    image_dtype=img_dtype)
+            router.run_placed(params, placed_b)()  # compile + warm
+            sched.append(placed_b)
+            frac_parts.append(len(ss) / total)
+        # repetition counts proportional to the stream's bucket fractions
+        reps = [max(1, round(f * iters)) for f in frac_parts]
+        order = [p for p, r in zip(sched, reps) for _ in range(r)]
+        pendb: deque = deque()
+        t0 = time.perf_counter()
+        for p in order:
+            pendb.append(router.run_placed(params, p))
+            if len(pendb) > depth:
+                pendb.popleft()()
+        while pendb:
+            pendb.popleft()()
+        device_binned_frac01 = routed_bs * len(order) / (time.perf_counter() - t0)
+
     # ---- honest p50 per-alert latency: pack ONE alert + pipeline + block
     single_samples = make_stream_samples(40, seed=3)
     # pre-compile exactly the buckets these single alerts will land in
@@ -412,6 +451,7 @@ def run_bench(device) -> dict:
         "monolithic_queue_depth": "unbounded",  # all dispatches queued, one final sync
         "device_routed_alerts_per_sec": round(device_routed, 1),
         "device_routed_frac01_alerts_per_sec": round(device_routed_frac01, 1),
+        "device_binned_frac01_alerts_per_sec": round(device_binned_frac01, 1),
         "device_routed_batch_size": routed_bs,
         "routing_mode": "fused",  # FusedSpectraStream single-program routing
         "sustained_batch_size": sus_bs,

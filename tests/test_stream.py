@@ -290,6 +290,67 @@ def test_fused_spectra_stream_matches_monolithic(rng):
     assert fused(params, []).shape[0] == 0
 
 
+def test_length_binned_feeder_matches_monolithic(rng):
+    """LengthBinnedFeeder only reorders which batch a sample rides in:
+    reassembled outputs == the monolithic pipeline per sample, across
+    full flushes, padded partial flushes, and mixed spectra presence."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _fusion_batch, _fusion_task
+
+    from applecider_tpu.infer.stream import (
+        AlertStreamPipeline, FusedSpectraStream, LengthBinnedFeeder,
+        pack_alert_batch,
+    )
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    params = task.init(jax.random.PRNGKey(0), _fusion_batch(4, tiny=True))["params"]
+    grid = np.linspace(4500.0, 7980.0, 128).astype(np.float32)
+    mono = AlertStreamPipeline(task, wave_grid=grid)
+    fused = FusedSpectraStream(task, spec_buckets=(0, 2, 4, 8), wave_grid=grid)
+    feeder = LengthBinnedFeeder(fused, params, flush_bs=3,
+                                length_buckets=(8, 16, 32), max_photo=32)
+
+    def mk_sample(P, with_spec):
+        t = np.sort(rng.uniform(0, 30, P)).astype(np.float32)
+        s = {
+            "photo_t": t,
+            "photo_flux": rng.uniform(1, 100, P).astype(np.float32),
+            "photo_err": rng.uniform(0.1, 2, P).astype(np.float32),
+            "photo_band": rng.integers(0, 3, P).astype(np.int32),
+            "image": rng.normal(size=(63, 63, 3)).astype(np.float32),
+            "meta19": rng.normal(size=19).astype(np.float32),
+        }
+        if with_spec:
+            s["spec_wl"] = np.sort(rng.uniform(4000, 8500, 80)).astype(np.float32)
+            s["spec_flux"] = rng.normal(size=80).astype(np.float32)
+        return s
+
+    n = 11
+    lengths = [5, 20, 9, 30, 12, 7, 25, 16, 4, 28, 10]
+    samples = [mk_sample(P, i % 3 == 0) for i, P in enumerate(lengths)]
+
+    got = np.zeros((n, mono(
+        params, pack_alert_batch(samples[:1], max_photo=32)).shape[1]))
+    seen = np.zeros(n, bool)
+    batches = feeder.submit(list(enumerate(samples))) + feeder.flush()
+    assert feeder.flush() == []  # queues drained
+    for indices, resolver in batches:
+        probs = resolver()
+        assert probs.shape[0] == len(indices)  # pad rows sliced off
+        got[np.asarray(indices)] = probs
+        seen[np.asarray(indices)] = True
+    assert seen.all()
+
+    # per-sample oracle: each sample through the monolithic pipeline alone
+    for i, s in enumerate(samples):
+        want = np.asarray(mono(params, pack_alert_batch([s], max_photo=32)))[0]
+        np.testing.assert_allclose(got[i], want, rtol=2e-5, atol=2e-6,
+                                   err_msg=f"sample {i} (P={lengths[i]})")
+
+
 def test_merge_variants_exactly_equivalent(rng):
     """flags_impl x compact_impl variants of merge_light_curve return
     bit-identical outputs (the TPU auto default routes to scan+rank; CPU
@@ -498,3 +559,4 @@ def test_s2d_conv_matches_direct(rng):
         denom = max(float(np.abs(y0).max()), 1e-9)
         np.testing.assert_allclose(y1 / denom, y0 / denom, rtol=0, atol=2e-6,
                                    err_msg=f"L={L} K={K} cin={cin} cout={cout} R={R}")
+
