@@ -269,6 +269,30 @@ def conv1d_fft(
     return y
 
 
+def _s2d_wins(K: int, cin: int) -> bool:
+    """TPU-only auto-route to the space-to-depth conv for MXU-starved shapes.
+
+    The polyphase rewrite wins exactly where direct conv's implied im2col
+    matmul underfills the MXU's 128-lane tiles: a LONG kernel over a
+    near-empty channel dim (SpectraNet stage 0: cin=1, K=1021 — measured
+    1.63x over direct at block=32, docs/KERNEL_NOTES.md "Space-to-depth
+    conv A/B"; K=61/cin=1 measured 0.83x, all cin>=64 shapes lose).
+    Gate: K >= 512 and cin <= 2, TPU only. Env ``ACS2D``: "0" disables,
+    "1" applies the shape rule on every platform (CPU equivalence tests).
+    """
+    env = os.environ.get("ACS2D")
+    if env == "0":
+        return False
+    if K < 512 or cin > 2:
+        return False
+    if env == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def conv1d(
     x: jax.Array,
     kernel: jax.Array,
@@ -276,13 +300,17 @@ def conv1d(
     mode: str = "auto",
     fft_len: int | None = None,
 ) -> jax.Array:
-    """Dispatch between direct and FFT paths.
+    """Dispatch between direct, space-to-depth, and FFT paths.
 
-    mode: "auto" (FLOP-cost model, see ``_fft_wins``), "direct" (exact
-    parity path), "fft". ``fft_len``: shared FFT length for kernel banks
-    over one input (see ``conv1d_fft``).
+    mode: "auto" (FLOP-cost model, see ``_fft_wins``; on TPU additionally
+    ``_s2d_wins`` routes MXU-starved long-kernel/low-cin shapes through
+    the polyphase rewrite), "direct" (exact parity path), "s2d", "fft".
+    ``fft_len``: shared FFT length for kernel banks over one input (see
+    ``conv1d_fft``).
     """
     k, cin, cout = kernel.shape
+    if mode == "s2d" or (mode == "auto" and _s2d_wins(k, cin)):
+        return conv1d_s2d(x, kernel, bias)
     if mode == "fft" or (
         mode == "auto" and _fft_wins(x.shape[1], k, cin, cout, batch=x.shape[0])
     ):

@@ -560,3 +560,39 @@ def test_s2d_conv_matches_direct(rng):
         np.testing.assert_allclose(y1 / denom, y0 / denom, rtol=0, atol=2e-6,
                                    err_msg=f"L={L} K={K} cin={cin} cout={cout} R={R}")
 
+
+def test_s2d_auto_routing_gate(rng, monkeypatch):
+    """The TPU auto-route to conv1d_s2d (_s2d_wins): shape gate correct,
+    ACS2D override honored, and the routed path — including its VJP, which
+    training traverses — matches conv1d_direct's."""
+    from applecider_tpu.ops import conv1d as c
+
+    # gate shape rule (platform forced on via ACS2D=1)
+    monkeypatch.setenv("ACS2D", "1")
+    assert c._s2d_wins(1021, 1) and c._s2d_wins(513, 2)
+    assert not c._s2d_wins(61, 1)      # measured 0.83x — loses
+    assert not c._s2d_wins(1021, 64)   # direct already MXU-saturated
+    monkeypatch.setenv("ACS2D", "0")
+    assert not c._s2d_wins(1021, 1)    # kill switch
+    monkeypatch.delenv("ACS2D")
+    # unset -> platform rule; this suite runs on CPU, so no reroute
+    assert not c._s2d_wins(1021, 1)
+
+    # value + grad equivalence through the public dispatcher at the
+    # stage-0 shape (small cout keeps CPU time down)
+    monkeypatch.setenv("ACS2D", "1")
+    x = jnp.asarray(rng.normal(size=(3, 3481, 1)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(1021, 1, 4)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+
+    def loss(mode):
+        return lambda w, b: jnp.sum(jnp.square(c.conv1d(x, w, b, mode=mode)))
+
+    (y1, g1) = jax.value_and_grad(loss("auto"), argnums=(0, 1))(w, b)
+    monkeypatch.setenv("ACS2D", "0")
+    (y0, g0) = jax.value_and_grad(loss("direct"), argnums=(0, 1))(w, b)
+    np.testing.assert_allclose(float(y1), float(y0), rtol=1e-6)
+    for a, d in zip(g1, g0):
+        denom = max(float(jnp.abs(d).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(a) / denom, np.asarray(d) / denom,
+                                   rtol=0, atol=2e-6)
