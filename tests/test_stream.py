@@ -164,6 +164,73 @@ def test_bucketed_packing_matches_full_length():
     np.testing.assert_allclose(p_bucket, p_full, rtol=2e-5, atol=2e-6)
 
 
+def test_pack_presorted_fast_path_matches_lexsort(rng):
+    """pack_alert_batch skips the lexsort when every sample's times already
+    ascend; the fast path must produce byte-identical batches to the sort
+    path on the same logical data, including truncation and the cross-sample
+    boundary exemption (sample i may end LATER than sample i+1 starts)."""
+    from applecider_tpu.infer.stream import pack_alert_batch
+
+    def mk(times):
+        t = np.asarray(times, np.float32)
+        n = t.shape[0]
+        return {
+            "photo_t": t,
+            "photo_flux": rng.normal(size=n).astype(np.float32),
+            "photo_err": rng.uniform(0.1, 1.0, size=n).astype(np.float32),
+            "photo_band": rng.integers(0, 3, size=n).astype(np.int32),
+            "image": rng.normal(size=(63, 63, 3)).astype(np.float32),
+            "meta19": rng.normal(size=19).astype(np.float32),
+            "spec_wl": None,
+            "spec_flux": None,
+        }
+
+    # ascending per sample, boundary decreasing between samples -> fast path
+    sorted_samples = [mk([1.0, 2.0, 5.0, 9.0]), mk([0.5, 3.0]), mk(np.arange(12.0))]
+    # same logical data, shuffled within each sample -> lexsort path
+    shuffled = []
+    for s in sorted_samples:
+        perm = rng.permutation(len(s["photo_t"]))
+        sh = dict(s)
+        for k in ("photo_t", "photo_flux", "photo_err", "photo_band"):
+            sh[k] = s[k][perm]
+        shuffled.append(sh)
+    for max_photo in (257, 8):  # 8 exercises truncation (keep earliest)
+        a = pack_alert_batch(sorted_samples, max_photo=max_photo)
+        b = pack_alert_batch(shuffled, max_photo=max_photo)
+        for k in ("photo_t", "photo_flux", "photo_err", "photo_band", "photo_valid"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{k} @ {max_photo}")
+
+    # NaN time: the ascending probe is False -> must fall back to the sort
+    # (not crash, not scramble the finite entries)
+    nan_samples = [mk([1.0, np.nan, 2.0]), mk([0.0, 4.0])]
+    out = pack_alert_batch(nan_samples, max_photo=257)
+    np.testing.assert_array_equal(out["photo_t"][1, :2], [0.0, 4.0])
+    assert out["photo_valid"][0].sum() == 3
+
+    # zero-length sample between non-empty ones: boundary index bookkeeping
+    empty_mid = [mk([1.0, 2.0]), mk([]), mk([0.0, 3.0])]
+    out = pack_alert_batch(empty_mid, max_photo=257)
+    np.testing.assert_array_equal(out["photo_t"][0, :2], [1.0, 2.0])
+    assert not out["photo_valid"][1].any()
+    np.testing.assert_array_equal(out["photo_t"][2, :2], [0.0, 3.0])
+
+
+def test_pack_bf16_image_prealloc_matches_stack(rng):
+    """the row-assign bf16 image path equals stack().astype(bf16) exactly
+    (same C cast, no intermediate)."""
+    import jax.numpy as jnp
+
+    from applecider_tpu.infer.stream import pack_alert_batch
+    from bench import make_stream_samples
+
+    samples = make_stream_samples(6, seed=11)
+    got = pack_alert_batch(samples, max_photo=64, image_dtype=jnp.bfloat16)["image"]
+    want = np.stack([s["image"] for s in samples]).astype(jnp.bfloat16)
+    assert got.dtype == want.dtype
+    np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
+
+
 def test_frozen_params_pipeline_matches_and_routes_fft():
     """freeze_params_with bakes weights into the executable: outputs match
     the arg-passing pipeline, and the conv router treats kernel FFTs as
