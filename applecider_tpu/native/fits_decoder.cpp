@@ -9,6 +9,9 @@
 // BITPIX in {8,16,32,64,-32,-64}, BSCALE/BZERO applied, big-endian data.
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 fits_decoder.cpp -o libacfits.so -lz -lpthread
+// With libdeflate (~2-3x faster gzip decode; inflate is ~90% of the
+// measured stamp-decode cost): add -DACFITS_HAVE_LIBDEFLATE -ldeflate.
+// The Python builder tries the libdeflate variant first and falls back.
 
 #include <atomic>
 #include <cstdint>
@@ -21,10 +24,43 @@
 
 #include <zlib.h>
 
+#ifdef ACFITS_HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
+
 namespace {
 
 constexpr int kBlock = 2880;
 constexpr int kCard = 80;
+
+#ifdef ACFITS_HAVE_LIBDEFLATE
+// One-shot gzip decode sized from the trailer's ISIZE field (uncompressed
+// length mod 2^32 — exact for any stamp under 4 GB); grows and retries on
+// the pathological wrap case instead of trusting it blindly.
+bool gunzip_libdeflate(libdeflate_decompressor* d, const uint8_t* src,
+                       size_t src_len, std::vector<uint8_t>& out) {
+    if (src_len < 18) return false;
+    size_t isize = (size_t)src[src_len - 4] | ((size_t)src[src_len - 3] << 8) |
+                   ((size_t)src[src_len - 2] << 16) | ((size_t)src[src_len - 1] << 24);
+    size_t cap = isize ? isize : src_len * 4 + 64;
+    for (int attempt = 0; attempt < 3; ++attempt) {
+        out.resize(cap);
+        size_t actual = 0;
+        libdeflate_result r =
+            libdeflate_gzip_decompress(d, src, src_len, out.data(), cap, &actual);
+        if (r == LIBDEFLATE_SUCCESS) {
+            out.resize(actual);
+            return true;
+        }
+        if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
+            cap = cap * 4 + 64;
+            continue;
+        }
+        return false;
+    }
+    return false;
+}
+#endif
 
 bool gunzip(const uint8_t* src, size_t src_len, std::vector<uint8_t>& out) {
     z_stream zs;
@@ -139,8 +175,12 @@ long decode_fits(const uint8_t* buf, size_t len, float* out, long max_pix) {
             break;
         case -32:
             if (avail < (size_t)n * 4) return -1;
+            // word loads + bswap32 auto-vectorize (pshufb); the per-byte
+            // shift/or form does not — this is the common ZTF stamp dtype
             for (long i = 0; i < n; ++i) {
-                uint32_t bits = be32(d + 4 * i);
+                uint32_t bits;
+                std::memcpy(&bits, d + 4 * i, 4);
+                bits = __builtin_bswap32(bits);
                 float f;
                 std::memcpy(&f, &bits, 4);
                 out[i] = f;
@@ -187,6 +227,9 @@ int acfits_decode_batch(
 
     auto worker = [&]() {
         std::vector<uint8_t> scratch;
+#ifdef ACFITS_HAVE_LIBDEFLATE
+        libdeflate_decompressor* ld = libdeflate_alloc_decompressor();
+#endif
         while (true) {
             int i = next.fetch_add(1);
             if (i >= n) break;
@@ -197,7 +240,13 @@ int acfits_decode_batch(
             const uint8_t* fits_buf = buf;
             size_t fits_len = len;
             if (len >= 2 && buf[0] == 0x1f && buf[1] == 0x8b) {
+#ifdef ACFITS_HAVE_LIBDEFLATE
+                bool ok = ld != nullptr && gunzip_libdeflate(ld, buf, len, scratch);
+                if (!ok) ok = gunzip(buf, len, scratch);  // zlib fallback
+                if (!ok) continue;
+#else
                 if (!gunzip(buf, len, scratch)) continue;
+#endif
                 fits_buf = scratch.data();
                 fits_len = scratch.size();
             }
@@ -207,6 +256,9 @@ int acfits_decode_batch(
                 ok_count.fetch_add(1);
             }
         }
+#ifdef ACFITS_HAVE_LIBDEFLATE
+        if (ld != nullptr) libdeflate_free_decompressor(ld);
+#endif
     };
 
     std::vector<std::thread> threads;
