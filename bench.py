@@ -187,6 +187,56 @@ def run_bench(device) -> dict:
         if rate > model_best[0]:
             model_best = (rate, bs)
 
+    # ---- training step (unchained device cost; see KERNEL_NOTES rule #4 on
+    # why chaining through the relay is not the device number). Same graph
+    # as scripts/tpu_train_probe.py so the persistent cache hits.
+    train_ms = train_rate = train_mfu = None
+    if on_tpu and not over_budget() and os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        try:
+            import optax
+
+            from applecider_tpu.train.optim import with_grad_clip
+
+            tx = with_grad_clip(task.make_optimizer(), task.grad_clip)
+            opt_state = tx.init(params)
+
+            @jax.jit
+            def train_step(params, opt_state, batch, rng):
+                (loss, aux), grads = jax.value_and_grad(
+                    task.loss_fn, has_aux=True)(params, batch, rng, True)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            tb = 256
+            batch = tuple(jax.device_put(np.asarray(x), device)
+                          for x in _fusion_batch(tb))
+            rng = jax.random.PRNGKey(1)
+            tr_flops = None
+            try:
+                ca = train_step.lower(params, opt_state, batch, rng
+                                      ).compile().cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                tr_flops = float(ca.get("flops", 0.0)) / tb
+            except Exception:
+                pass
+            _p, _o, loss = train_step(params, opt_state, batch, rng)
+            assert np.isfinite(float(np.asarray(loss)))
+            iters = 8
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _p, _o, loss = train_step(params, opt_state, batch, rng)
+            _ = float(np.asarray(loss))
+            dt = (time.perf_counter() - t0) / iters
+            train_ms = round(dt * 1e3, 1)
+            train_rate = round(tb / dt, 1)
+            if tr_flops:
+                kind = str(getattr(device, "device_kind", "")).lower()
+                peak = next((v for k, v in PEAK_TFLOPS.items() if k in kind),
+                            PEAK_TFLOPS["v5e"])
+                train_mfu = round(100.0 * tr_flops * train_rate / (peak * 1e12), 2)
+        except Exception:
+            train_ms = train_rate = train_mfu = None
+
     # ---- end-to-end: host packing + H2D + device preprocess + fusion forward
     # NOTE: freeze_params_with is deliberately NOT used here — it embeds the
     # ~80M weights as executable constants (138MB per compiled shape), which
@@ -468,6 +518,9 @@ def run_bench(device) -> dict:
         "latency_slo_ms": 100.0,  # stated target: p50 single-alert e2e on TPU
         "flops_per_alert": round(flops, 0) if flops else None,
         "mfu_pct_model_only": mfu_pct,
+        "train_step_ms_b256": train_ms,
+        "train_alerts_per_sec": train_rate,
+        "train_mfu_pct": train_mfu,
         "compile_seconds": round(compile_s, 1),
         "device": str(device),
     }
