@@ -257,7 +257,17 @@ class Trainer:
         seed = int(cfg.get_path("train.seed", default=42))
         patience = int(cfg.get_path("train.early_stop_patience", default=30))
 
-        rng = jax.random.PRNGKey(seed)
+        # dropout-bit generation dominates nothing on CPU but is a real TPU
+        # cost: the default threefry PRNG compiles to scalar-heavy code,
+        # measured +14.6 ms on the 52.9 ms fusion train step (batch 64,
+        # tpu_results/train_step_r3.jsonl value_and_grad vs _nodropout).
+        # "rbg" lowers to the TPU-native RngBitGenerator. Still deterministic
+        # per (key, shape) on a fixed backend; threefry remains the default
+        # off-TPU and available everywhere via train.rng_impl.
+        impl = str(cfg.get_path("train.rng_impl", default="auto"))
+        if impl == "auto":
+            impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+        rng = jax.random.key(seed, impl=impl)
         first = next(iter(train_loader))
         batch0 = self.task.to_tensor(first)
         rng, init_rng = jax.random.split(rng)

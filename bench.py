@@ -394,12 +394,7 @@ def run_bench(device) -> dict:
     # (~always the top bucket); binning runs each batch at its own bucket's
     # pipeline — measured 24.2k/16.8k/14.7k alerts/s at buckets 64/128/192
     # (tpu_results/length_bins_r3.jsonl). Outputs identical (unit-tested).
-    device_binned_frac01 = 0.0
-    if device_routed_frac01 > 0 and not over_budget():
-        pool = [s for ss in sets01 for s in ss] + [
-            s for j in range(n_sets)
-            for s in make_stream_samples(routed_bs, seed=50 + j, spectrum_frac=0.1)
-        ]
+    def binned_rate(pool: list) -> float:
         by_bucket: dict = {}
         for s in pool:
             n = min(len(s["photo_t"]), 257)
@@ -425,7 +420,27 @@ def run_bench(device) -> dict:
                 pendb.popleft()()
         while pendb:
             pendb.popleft()()
-        device_binned_frac01 = routed_bs * len(order) / (time.perf_counter() - t0)
+        return routed_bs * len(order) / (time.perf_counter() - t0)
+
+    device_binned_frac01 = 0.0
+    if device_routed_frac01 > 0 and not over_budget():
+        device_binned_frac01 = binned_rate(
+            [s for ss in sets01 for s in ss] + [
+                s for j in range(n_sets)
+                for s in make_stream_samples(routed_bs, seed=50 + j,
+                                             spectrum_frac=0.1)
+            ])
+
+    # the same steady state at the conservative 30% mix — the binned
+    # counterpart of device_routed_alerts_per_sec above
+    device_binned_frac03 = 0.0
+    if device_routed > 0 and not over_budget():
+        device_binned_frac03 = binned_rate(
+            [s for ss in rsets for s in ss] + [
+                s for j in range(n_sets)
+                for s in make_stream_samples(routed_bs, seed=60 + j,
+                                             spectrum_frac=0.3)
+            ])
 
     # ---- honest p50 per-alert latency: pack ONE alert + pipeline + block
     single_samples = make_stream_samples(40, seed=3)
@@ -504,6 +519,7 @@ def run_bench(device) -> dict:
         "device_routed_alerts_per_sec": round(device_routed, 1),
         "device_routed_frac01_alerts_per_sec": round(device_routed_frac01, 1),
         "device_binned_frac01_alerts_per_sec": round(device_binned_frac01, 1),
+        "device_binned_frac03_alerts_per_sec": round(device_binned_frac03, 1),
         "device_routed_batch_size": routed_bs,
         "routing_mode": "fused",  # FusedSpectraStream single-program routing
         "sustained_batch_size": sus_bs,

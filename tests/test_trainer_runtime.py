@@ -144,3 +144,13 @@ def test_export_engine_ragged_tail_batch(prepared, tmp_path):
     via_engine = rt.engine(export_dir)
     assert via_engine.shape == direct.shape  # includes the 3-row tail
     np.testing.assert_allclose(via_engine, direct, atol=1e-5)
+
+def test_rbg_rng_impl_trains(prepared, tmp_path):
+    """train.rng_impl="rbg" (the TPU-fast RngBitGenerator dropout path,
+    default on TPU via "auto") must train with dropout active and move the
+    weights; threefry stays the off-TPU default."""
+    rt = _runtime(prepared, tmp_path, epochs=1)
+    rt.set_config("model.BaselineCLS.dropout", 0.3)
+    rt.set_config("train.rng_impl", "rbg")
+    res = rt.train()
+    assert np.isfinite(res["history"][-1]["train_loss"])
