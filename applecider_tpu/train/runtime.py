@@ -189,6 +189,57 @@ class AppleCiderRuntime:
     # keep the reference verb name alive
     to_onnx = export
 
+    def serve(self, raw_path: str | Path | None = None,
+              params=None) -> dict:
+        """Classify every alert of a raw-data directory, per-alert causal.
+
+        The production shape (reference README.md:17-19;
+        ``brew_cider.py:1134-1193`` evaluate-per-alert): raw L1 object
+        dirs -> ragged per-alert samples -> the measured serving stack
+        (``FusedSpectraStream`` + ``LengthBinnedFeeder``). Config under
+        ``[serve]``: ``data_location`` (raw dir; overridable by the
+        ``raw_path`` arg), ``batch_size``, ``binned``, ``causal_spectrum``,
+        ``stats_event_path``. Weights come from the most recent trained
+        run unless ``params`` is given. Writes ``alerts.jsonl`` +
+        ``serve.json`` into a timestamped run dir; returns the summary.
+        """
+        from applecider_tpu.infer.serve import iter_alert_samples, serve_alert_stream
+
+        sec = self.config.section("serve")
+        raw_path = raw_path or sec.get("data_location")
+        if not raw_path:
+            raise KeyError("[serve].data_location not set and no raw_path given")
+        task = self._task()
+        if params is None:
+            if not self.datasets:
+                self.prepare()
+            params, _, _ = self._restore_latest_params(task)
+        mean = std = None
+        stats_path = sec.get("stats_event_path", "")
+        if stats_path:
+            with np.load(stats_path) as st:
+                mean = st["mean"].astype(np.float32)[:4]
+                std = st["std"].astype(np.float32)[:4]
+        out_dir = self._new_run_dir("serve")
+        summary = serve_alert_stream(
+            task,
+            params,
+            iter_alert_samples(
+                raw_path,
+                causal_spectrum=bool(sec.get("causal_spectrum", True)),
+            ),
+            batch_size=int(sec.get("batch_size", 1024)),
+            binned=bool(sec.get("binned", True)),
+            stats_mean=mean,
+            stats_std=std,
+            out_jsonl=out_dir / "alerts.jsonl",
+        )
+        (out_dir / "serve.json").write_text(json.dumps(
+            {k: v for k, v in summary.items() if k != "results"}
+        ))
+        summary["run_dir"] = out_dir
+        return summary
+
     def engine(self, export_dir: str | Path | None = None) -> np.ndarray:
         """Load an exported artifact and run it over the infer dataset."""
         if not self.datasets:

@@ -1,0 +1,113 @@
+"""Production serve path: raw object dirs -> per-alert causal probabilities.
+
+The serve adapter must (a) honor the causal contract — photometry cut at
+each alert's jd, spectrum attached only once taken — and (b) produce
+EXACTLY the probabilities of the monolithic ``AlertStreamPipeline`` on the
+same samples (binning/fusing only reorder batch membership; reference
+per-alert loop ``brew_cider.py:1134-1193``)."""
+
+import numpy as np
+import pytest
+
+from applecider_tpu.infer.serve import (
+    alert_samples_for_object,
+    iter_alert_samples,
+    serve_alert_stream,
+)
+from applecider_tpu.testing import make_corpus
+
+GRID = np.linspace(4500, 7980, 128, dtype=np.float32)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    data_dir, labels_csv = make_corpus(
+        root, n_objects=5, seed=7, n_photometry=24, n_alerts=5
+    )
+    return data_dir
+
+
+def test_alert_samples_causal(corpus):
+    pairs = list(alert_samples_for_object("ZTFSYN0000", corpus))
+    assert len(pairs) > 0
+    prev_jd, prev_n = -np.inf, 0
+    spec_seen = False
+    for info, s in pairs:
+        assert info["jd"] >= prev_jd
+        assert info["n_photometry"] >= prev_n  # causal prefix grows with jd
+        prev_jd, prev_n = info["jd"], info["n_photometry"]
+        assert s["image"].shape == (63, 63, 3)
+        assert s["meta19"].shape == (19,)
+        assert len(s["photo_t"]) == info["n_photometry"]
+        assert np.all(np.diff(s["photo_t"]) >= 0)
+        if spec_seen:  # once available, the spectrum never detaches
+            assert info["has_spectrum"]
+        spec_seen = spec_seen or info["has_spectrum"]
+
+
+def test_serve_matches_monolithic_pipeline(corpus):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _fusion_task
+
+    from applecider_tpu.infer.stream import AlertStreamPipeline, pack_alert_batch
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    pairs = list(iter_alert_samples(corpus))
+    assert len(pairs) >= 10
+    samples = [s for _, s in pairs]
+    raw = pack_alert_batch(samples, max_photo=64, max_spec=512)
+    import jax
+
+    variables = task.init(
+        jax.random.PRNGKey(0),
+        (np.zeros((2, 8, 7), np.float32), np.zeros((2, 8), bool),
+         np.zeros((2, 24), np.float32), np.zeros((2, 63, 63, 3), np.float32),
+         np.zeros((2, len(GRID)), np.float32), np.zeros(2, np.int64)),
+    )
+    params = variables["params"]
+    oracle = np.asarray(AlertStreamPipeline(task, wave_grid=GRID)(params, raw))
+
+    for binned in (True, False):
+        summary = serve_alert_stream(
+            task, params, iter(pairs), batch_size=4, binned=binned,
+            length_buckets=(16, 32, 64), wave_grid=GRID,
+        )
+        assert summary["n_alerts"] == len(pairs)
+        got = np.stack([r["probs"] for r in summary["results"]])
+        np.testing.assert_allclose(got, oracle, rtol=2e-5, atol=2e-6)
+        for rec, (info, _) in zip(summary["results"], pairs):
+            assert rec["object_id"] == info["object_id"]
+            assert rec["jd"] == info["jd"]
+
+
+def test_serve_writes_jsonl(corpus, tmp_path):
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import jax
+
+    from __graft_entry__ import _fusion_task
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    pairs = list(iter_alert_samples(corpus, obj_ids=["ZTFSYN0001"]))
+    variables = task.init(
+        jax.random.PRNGKey(0),
+        (np.zeros((2, 8, 7), np.float32), np.zeros((2, 8), bool),
+         np.zeros((2, 24), np.float32), np.zeros((2, 63, 63, 3), np.float32),
+         np.zeros((2, len(GRID)), np.float32), np.zeros(2, np.int64)),
+    )
+    out = tmp_path / "alerts.jsonl"
+    summary = serve_alert_stream(
+        task, variables["params"], iter(pairs), batch_size=4,
+        length_buckets=(16, 32, 64), wave_grid=GRID, out_jsonl=out,
+    )
+    rows = [json.loads(ln) for ln in out.read_text().splitlines()]
+    assert len(rows) == summary["n_alerts"] == len(pairs)
+    assert all(len(r["probs"]) == 5 for r in rows)
+    assert abs(sum(rows[0]["probs"]) - 1.0) < 1e-4
