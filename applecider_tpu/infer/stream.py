@@ -486,7 +486,7 @@ class AlertStreamPipeline:
     def __init__(self, task, stats_mean=None, stats_std=None, dt_hours: float = 12.0,
                  wave_grid: Optional[np.ndarray] = None, mesh=None,
                  freeze_params_with=None, skip_spectra: bool = False,
-                 compact_spectra: bool = False):
+                 compact_spectra: bool = False, quantize_scales: Optional[dict] = None):
         """``mesh``: optional ``jax.sharding.Mesh`` — the raw batch shards
         dim-0 over the ``data`` axis (params replicated), so one pipeline
         call fans out over every chip of a pod slice.
@@ -539,6 +539,8 @@ class AlertStreamPipeline:
         # frozen BN running stats (e.g. imported tri-pool fusion) snapshot
         # at construction; they are jit-trace constants
         self._batch_stats = getattr(task, "batch_stats", None)
+        # opt-in int8 PTQ serving (ops/quant.py): scales from .calibrate()
+        self._quant_scales = dict(quantize_scales) if quantize_scales else None
         self._frozen = freeze_params_with is not None
         if self._frozen and mesh is not None:
             raise ValueError("freeze_params_with and mesh are mutually exclusive")
@@ -552,7 +554,24 @@ class AlertStreamPipeline:
         from applecider_tpu.ops.conv1d import frozen_kernel_hint
 
         with frozen_kernel_hint(self._frozen):
+            if self._quant_scales is not None:
+                from applecider_tpu.ops.quant import quantized
+
+                # trace-time context: the jitted executable is int8 end to end
+                with quantized(self._quant_scales):
+                    return self._forward_body(params, raw)
             return self._forward_body(params, raw)
+
+    def calibrate(self, params, raws: list, percentile_headroom: float = 1.0) -> dict:
+        """Observe per-layer input ranges on representative packed batches.
+
+        Runs the UNJITTED forward under an observation context; returns the
+        {module-path: scale} dict that ``quantize_scales`` consumes. Use a
+        few small batches — eager execution is slow but happens once."""
+        from applecider_tpu.ops.quant import calibrate as _calibrate
+
+        return _calibrate(lambda raw: self._forward(params, raw), raws,
+                          percentile_headroom=percentile_headroom)
 
     def _forward_body(self, params, raw):
         merge = jax.vmap(

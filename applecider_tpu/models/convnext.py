@@ -68,6 +68,18 @@ class Conv2dTorch(nn.Module):
         kernel = self.param("kernel", _conv_init, (k, k, cin // self.groups, self.features))
         fan_in = (cin // self.groups) * k * k
         bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        # opt-in int8 serving path (ops/quant.py); trace-time no-op when off
+        from applecider_tpu.ops.quant import quant_conv
+
+        q = quant_conv(
+            x, kernel, bias, self.path, self.dtype or x.dtype,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            feature_group_count=self.groups,
+        )
+        if q is not None:
+            return q
         xc = x.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             xc,

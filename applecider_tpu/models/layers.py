@@ -52,9 +52,17 @@ class Linear(nn.Module):
     def __call__(self, x):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", torch_linear_init, (fan_in, self.features))
+        bias = (self.param("bias", torch_bias_init(fan_in), (self.features,))
+                if self.use_bias else None)
+        # opt-in int8 serving path (ops/quant.py): a trace-time no-op unless
+        # a quantized()/observing() context is active
+        from applecider_tpu.ops.quant import quant_dense
+
+        q = quant_dense(x, kernel, bias, self.path, self.dtype or x.dtype)
+        if q is not None:
+            return q
         y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
-        if self.use_bias:
-            bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
 

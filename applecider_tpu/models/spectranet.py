@@ -78,6 +78,19 @@ class Conv1dTorch(nn.Module):
         cin = x.shape[-1]
         kernel = self.param("kernel", _torch_conv_kernel_init, (self.kernel_size, cin, self.features))
         bias = self.param("bias", torch_bias_init(cin * self.kernel_size), (self.features,))
+        # opt-in int8 serving path (ops/quant.py); trace-time no-op when off.
+        # int8 always takes the direct conv (no FFT/s2d — MXU int8 is the win).
+        from applecider_tpu.ops.quant import quant_conv
+
+        pad = self.kernel_size // 2  # odd-K 'same', == conv1d_direct's padding
+        q = quant_conv(
+            x, kernel, bias, self.path, x.dtype,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+        )
+        if q is not None:
+            return q
         return conv1d(x, kernel, bias, mode=self.conv_mode, fft_len=self.fft_len)
 
 

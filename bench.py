@@ -442,6 +442,48 @@ def run_bench(device) -> dict:
                                              spectrum_frac=0.3)
             ])
 
+    # ---- int8 PTQ serving A/B (opt-in mode, ops/quant.py): same placed
+    # frac-0.3 batches through a quantized FusedSpectraStream vs the f32
+    # router above. v5e MXU int8 peak is 2x bf16; one extra program compile.
+    # Calibration runs EAGERLY on the host CPU backend (absmax scales are
+    # platform-independent; eager per-op dispatch over the TPU relay is not
+    # viable) on small CPU-placed batches.
+    int8_rate, int8_agreement = 0.0, None
+    if device_routed > 0 and not over_budget() and \
+            os.environ.get("BENCH_INT8", "1") == "1":
+        try:
+            import jax as _jax
+
+            cpu_dev = _jax.devices("cpu")[0]
+            calib_sets = [make_stream_samples(32, seed=70 + j, spectrum_frac=0.5)
+                          for j in range(2)]
+            cpu_params = _jax.device_put(params, cpu_dev)
+            with _jax.default_device(cpu_dev):
+                calib_placed = [router.place(s, length_buckets=BUCKETS,
+                                             image_dtype=np.float32, device=cpu_dev)
+                                for s in calib_sets]
+                scales = router.pipe.calibrate(cpu_params, calib_placed)
+            q_router = FusedSpectraStream(task, quantize_scales=scales)
+            # agreement on one batch (fetch BEFORE the timing loop — relay rule)
+            ref_probs = router.run_placed(params, placed_sets[0])()
+            q_probs = q_router.run_placed(params, placed_sets[0])()
+            from applecider_tpu.ops.quant import quant_error_report
+
+            int8_agreement = quant_error_report(ref_probs, q_probs)
+            for p in placed_sets:
+                q_router.run_placed(params, p)()  # compile + warm per shape
+            pend8: deque = deque()
+            t0 = time.perf_counter()
+            for i in range(iters):
+                pend8.append(q_router.run_placed(params, placed_sets[i % n_sets]))
+                if len(pend8) > depth:
+                    pend8.popleft()()
+            while pend8:
+                pend8.popleft()()
+            int8_rate = routed_bs * iters / (time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — opt-in mode must not kill bench
+            int8_agreement = {"error": f"{type(e).__name__}: {e}"}
+
     # ---- honest p50 per-alert latency: pack ONE alert + pipeline + block
     single_samples = make_stream_samples(40, seed=3)
     # pre-compile exactly the buckets these single alerts will land in
@@ -520,6 +562,8 @@ def run_bench(device) -> dict:
         "device_routed_frac01_alerts_per_sec": round(device_routed_frac01, 1),
         "device_binned_frac01_alerts_per_sec": round(device_binned_frac01, 1),
         "device_binned_frac03_alerts_per_sec": round(device_binned_frac03, 1),
+        "device_int8_frac03_alerts_per_sec": round(int8_rate, 1),
+        "int8_agreement": int8_agreement,
         "device_routed_batch_size": routed_bs,
         "routing_mode": "fused",  # FusedSpectraStream single-program routing
         "sustained_batch_size": sus_bs,
