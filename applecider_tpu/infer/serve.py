@@ -202,6 +202,8 @@ def serve_alert_stream(
     stats_std=None,
     wave_grid: Optional[np.ndarray] = None,
     image_dtype=np.float32,
+    int8: bool = False,
+    calib_alerts: int = 64,
     out_jsonl: Optional[str | Path] = None,
 ) -> dict:
     """Classify a stream of per-alert samples; returns a summary dict.
@@ -219,6 +221,28 @@ def serve_alert_stream(
 
     router = FusedSpectraStream(task, stats_mean=stats_mean, stats_std=stats_std,
                                 wave_grid=wave_grid)
+    if int8:
+        # int8 PTQ (ops/quant.py): calibrate activation scales on the
+        # stream's own leading alerts (eagerly, on the host CPU backend),
+        # then serve the whole stream — including those alerts — through
+        # the quantized router. Opt-in: accuracy is workload-dependent.
+        import itertools
+
+        import jax
+
+        head = list(itertools.islice(samples, calib_alerts))
+        samples = itertools.chain(head, samples)
+        if head:
+            cpu = jax.devices("cpu")[0]
+            cpu_params = jax.device_put(params, cpu)
+            with jax.default_device(cpu):
+                placed = router.place([s for _, s in head],
+                                      length_buckets=length_buckets, device=cpu)
+                scales = router.pipe.calibrate(cpu_params, [placed])
+            router = FusedSpectraStream(
+                task, stats_mean=stats_mean, stats_std=stats_std,
+                wave_grid=wave_grid, quantize_scales=scales,
+            )
     infos: list[dict] = []
     probs_by_idx: dict[int, np.ndarray] = {}
     pending: list[tuple[list[int], object]] = []

@@ -232,6 +232,7 @@ class AppleCiderRuntime:
             binned=bool(sec.get("binned", True)),
             stats_mean=mean,
             stats_std=std,
+            int8=bool(sec.get("int8", False)),
             out_jsonl=out_dir / "alerts.jsonl",
         )
         (out_dir / "serve.json").write_text(json.dumps(

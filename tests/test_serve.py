@@ -111,3 +111,39 @@ def test_serve_writes_jsonl(corpus, tmp_path):
     assert len(rows) == summary["n_alerts"] == len(pairs)
     assert all(len(r["probs"]) == 5 for r in rows)
     assert abs(sum(rows[0]["probs"]) - 1.0) < 1e-4
+
+
+def test_serve_int8_close_to_f32(corpus):
+    """serve(int8=True) auto-calibrates on the leading alerts and serves the
+    WHOLE stream (incl. those alerts) through the quantized router, close to
+    the f32 pipeline's probabilities."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import jax
+
+    from __graft_entry__ import _fusion_task
+
+    from applecider_tpu.ops.quant import quant_error_report
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    pairs = list(iter_alert_samples(corpus))
+    variables = task.init(
+        jax.random.PRNGKey(0),
+        (np.zeros((2, 8, 7), np.float32), np.zeros((2, 8), bool),
+         np.zeros((2, 24), np.float32), np.zeros((2, 63, 63, 3), np.float32),
+         np.zeros((2, len(GRID)), np.float32), np.zeros(2, np.int64)),
+    )
+    params = variables["params"]
+    kw = dict(batch_size=4, length_buckets=(16, 32, 64), wave_grid=GRID)
+    ref = serve_alert_stream(task, params, iter(pairs), **kw)
+    got = serve_alert_stream(task, params, iter(pairs), int8=True,
+                             calib_alerts=8, **kw)
+    assert got["n_alerts"] == ref["n_alerts"] == len(pairs)
+    rep = quant_error_report(
+        np.stack([r["probs"] for r in ref["results"]]),
+        np.stack([r["probs"] for r in got["results"]]),
+    )
+    assert rep["mean_abs_prob_diff"] < 0.02
+    assert rep["top1_agreement"] >= 0.9
