@@ -67,26 +67,28 @@ def _alert_triplet(alert: dict, hw: int = 63) -> Optional[np.ndarray]:
     return np.stack([_fit_hw(p.astype(np.float32), hw) for p in planes], axis=-1)
 
 
-def _raw_spectrum(df) -> Optional[tuple[np.ndarray, np.ndarray]]:
-    """Raw (wavelength, flux) columns; interp + MAD happen on device."""
-    from applecider_tpu.preprocessing.spectra import _FLUX_CANDIDATES, _WL_CANDIDATES
+def _raw_spectrum(df, max_points: int = 512) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Raw (wavelength, flux) columns; interp + MAD happen on device.
 
-    if df is None or len(df) == 0:
-        return None
-    import pandas as pd
+    Spectra longer than ``max_points`` (the packed spectra width — real
+    instrument exports run to thousands of samples) are bin-averaged down
+    to ``max_points`` segments covering the FULL wavelength range: naive
+    ``[:max_points]`` truncation would keep only the bluest stub and let
+    the device resample extrapolate garbage across most of the grid."""
+    from applecider_tpu.preprocessing.spectra import raw_spectrum_columns
 
-    cols = set(df.columns)
-    wl_col = next((c for c in _WL_CANDIDATES if c in cols), None)
-    fx_col = next((c for c in _FLUX_CANDIDATES if c in cols), None)
-    if wl_col is None or fx_col is None:
+    raw = raw_spectrum_columns(df)
+    if raw is None:
         return None
-    x = pd.to_numeric(df[wl_col], errors="coerce").to_numpy(dtype=np.float64)
-    y = pd.to_numeric(df[fx_col], errors="coerce").to_numpy(dtype=np.float64)
-    good = np.isfinite(x) & np.isfinite(y)
-    if good.sum() < 2:
-        return None
-    order = np.argsort(x[good], kind="stable")
-    return x[good][order].astype(np.float32), y[good][order].astype(np.float32)
+    x, y = raw
+    n = x.shape[0]
+    if n > max_points:
+        # equal-count segment means (anti-aliased decimation, range-preserving)
+        edges = np.linspace(0, n, max_points + 1).astype(np.int64)
+        counts = np.diff(edges)
+        x = np.add.reduceat(x, edges[:-1]) / counts
+        y = np.add.reduceat(y, edges[:-1]) / counts
+    return x.astype(np.float32), y.astype(np.float32)
 
 
 def alert_samples_for_object(
@@ -115,10 +117,11 @@ def alert_samples_for_object(
     if len(photo["jd"]) == 0:
         return
 
-    spec = _raw_spectrum(read_spectra_csv(obj_id, data_dir))
+    spec_df = read_spectra_csv(obj_id, data_dir)
+    spec = _raw_spectrum(spec_df)
     spec_jd = None
     if spec is not None:
-        spec_mjd = extract_spectrum_time_mjd(read_spectra_csv(obj_id, data_dir))
+        spec_mjd = extract_spectrum_time_mjd(spec_df)
         spec_jd = None if spec_mjd is None else spec_mjd + JD_MJD_OFFSET
 
     # photometry columns, time-ascending once; per alert it's a prefix slice
@@ -230,13 +233,27 @@ def serve_alert_stream(
 
         import jax
 
+        from applecider_tpu.infer.stream import _has_spectrum
+
         head = list(itertools.islice(samples, calib_alerts))
-        samples = itertools.chain(head, samples)
+        # the causal-spectrum contract makes LEADING alerts systematically
+        # spectrum-poor (a spectrum only attaches once taken): if the head
+        # has no spectrum-bearing sample, SpectraNet's layers would
+        # calibrate on zero activations. Scan ahead (bounded) for a few
+        # spectrum carriers so the spectra branch sees real ranges.
+        extra: list = []
+        if head and not any(_has_spectrum(s) for _, s in head):
+            for pair in itertools.islice(samples, 20 * calib_alerts):
+                extra.append(pair)
+                if sum(_has_spectrum(s) for _, s in extra) >= 4:
+                    break
+        samples = itertools.chain(head, extra, samples)
         if head:
+            calib = head + [p for p in extra if _has_spectrum(p[1])]
             cpu = jax.devices("cpu")[0]
             cpu_params = jax.device_put(params, cpu)
             with jax.default_device(cpu):
-                placed = router.place([s for _, s in head],
+                placed = router.place([s for _, s in calib],
                                       length_buckets=length_buckets, device=cpu)
                 scales = router.pipe.calibrate(cpu_params, [placed])
             router = FusedSpectraStream(

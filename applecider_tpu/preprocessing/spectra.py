@@ -107,8 +107,13 @@ def extract_spectrum_time_mjd(df) -> Optional[float]:
     return None
 
 
-def preprocess_spectrum(df, wave_grid: np.ndarray) -> Optional[np.ndarray]:
-    """DataFrame -> MAD-normalized flux on the fixed grid (float32), or None."""
+def raw_spectrum_columns(df) -> Optional[tuple[np.ndarray, np.ndarray]]:
+    """Sniff the wavelength/flux columns out of a spectra DataFrame.
+
+    Returns finite ``(wavelength, flux)`` float64 arrays sorted by
+    wavelength, or None when no usable pair exists. Shared by the host
+    preprocessing path (``preprocess_spectrum``) and the serving adapter
+    (``infer/serve.py`` — which resamples on device instead)."""
     if df is None or len(df) == 0:
         return None
     import pandas as pd
@@ -123,7 +128,17 @@ def preprocess_spectrum(df, wave_grid: np.ndarray) -> Optional[np.ndarray]:
     good = np.isfinite(x) & np.isfinite(y)
     if good.sum() < 2:
         return None
-    y_grid = interp_with_extrapolation(x[good], y[good], wave_grid.astype(np.float64))
+    order = np.argsort(x[good], kind="stable")
+    return x[good][order], y[good][order]
+
+
+def preprocess_spectrum(df, wave_grid: np.ndarray) -> Optional[np.ndarray]:
+    """DataFrame -> MAD-normalized flux on the fixed grid (float32), or None."""
+    raw = raw_spectrum_columns(df)
+    if raw is None:
+        return None
+    x, y = raw
+    y_grid = interp_with_extrapolation(x, y, wave_grid.astype(np.float64))
     mean = float(np.nanmean(y_grid))
     scale = mad(y_grid)
     if not np.isfinite(scale) or scale == 0.0:

@@ -216,6 +216,15 @@ class AppleCiderRuntime:
             params, _, _ = self._restore_latest_params(task)
         mean = std = None
         stats_path = sec.get("stats_event_path", "")
+        if not stats_path:
+            # fall back to the fusion dataset's training stats so serve
+            # normalizes photometry exactly as the model was trained
+            # (the infer verb reads the same section)
+            from applecider_tpu.datasets.fusion_dataset import FusionDataset
+
+            stats_path = self.config.section(
+                "data_set", FusionDataset.SECTION
+            ).get("stats_event_path", "")
         if stats_path:
             with np.load(stats_path) as st:
                 mean = st["mean"].astype(np.float32)[:4]

@@ -147,3 +147,55 @@ def test_serve_int8_close_to_f32(corpus):
     )
     assert rep["mean_abs_prob_diff"] < 0.02
     assert rep["top1_agreement"] >= 0.9
+
+
+def test_long_spectrum_decimated_full_range():
+    """Spectra longer than the packed width are bin-averaged over the FULL
+    wavelength range, never truncated to a blue stub."""
+    import pandas as pd
+
+    from applecider_tpu.infer.serve import _raw_spectrum
+
+    wl = np.linspace(3500.0, 9500.0, 2000)
+    fx = np.sin(wl / 300.0)
+    df = pd.DataFrame({"wavelength": wl, "flux": fx})
+    out = _raw_spectrum(df, max_points=512)
+    assert out is not None
+    w, f = out
+    assert w.shape == (512,) and f.shape == (512,)
+    assert w[0] < 3520 and w[-1] > 9480  # full range survives
+    assert np.all(np.diff(w) > 0)
+    # bin means track the underlying signal
+    np.testing.assert_allclose(f, np.sin(w / 300.0), atol=0.02)
+    # short spectra pass through untouched
+    w2, f2 = _raw_spectrum(pd.DataFrame({"wavelength": wl[:100], "flux": fx[:100]}))
+    assert w2.shape == (100,)
+    np.testing.assert_allclose(f2, fx[:100], rtol=1e-6)
+
+
+def test_runtime_serve_falls_back_to_dataset_stats(tmp_path, monkeypatch):
+    """[serve] without stats_event_path must reuse the fusion dataset's
+    training stats — serve and infer normalize identically."""
+    import applecider_tpu.infer.serve as serve_mod
+    from applecider_tpu.datasets.fusion_dataset import FusionDataset
+    from applecider_tpu.train.runtime import AppleCiderRuntime
+
+    stats = tmp_path / "stats.npz"
+    np.savez(stats, mean=np.arange(4, dtype=np.float32),
+             std=np.full(4, 2.0, np.float32))
+    captured = {}
+
+    def fake_serve(task, params, samples, **kw):
+        captured.update(kw)
+        return {"n_alerts": 0, "seconds": 0.0, "alerts_per_sec": 0.0, "results": []}
+
+    monkeypatch.setattr(serve_mod, "serve_alert_stream", fake_serve)
+    rt = AppleCiderRuntime(
+        overrides={"model": {"name": "Fusion"},
+                   "serve": {"data_location": str(tmp_path)},
+                   "data_set": {FusionDataset.SECTION: {"stats_event_path": str(stats)}}},
+        workdir=tmp_path / "results",
+    )
+    rt.serve(params={})
+    np.testing.assert_array_equal(captured["stats_mean"], np.arange(4, dtype=np.float32))
+    np.testing.assert_array_equal(captured["stats_std"], np.full(4, 2.0))
