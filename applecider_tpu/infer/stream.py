@@ -528,12 +528,12 @@ class AlertStreamPipeline:
         self.compact_spectra = bool(compact_spectra)
         if self.compact_spectra and self.skip_spectra:
             raise ValueError("compact_spectra and skip_spectra are mutually exclusive")
-        if self.compact_spectra and mesh is not None:
-            raise ValueError(
-                "compact_spectra does not compose with mesh yet: the compact "
-                "spectra block's dim 0 is S+1, which the data-axis batch "
-                "sharding cannot split consistently with B"
-            )
+        # compact_spectra + mesh: batch-dim tensors shard over the data
+        # axis; the compact (S+1, W) spectra block + spec_has REPLICATE
+        # (every shard's gather indexes the full block — SpectraNet runs
+        # the small block redundantly per chip, which beats all-gathering
+        # its embeddings at these sizes). spec_gather (B,) shards with
+        # the batch. See _compact_shardings.
         self._placed_params = None
         self._placed_src = None
         # frozen BN running stats (e.g. imported tri-pool fusion) snapshot
@@ -629,12 +629,34 @@ class AlertStreamPipeline:
         if self.mesh is not None:
             from applecider_tpu.parallel.mesh import replicate, shard_batch
 
-            raw = shard_batch(raw, self.mesh)
+            if self.compact_spectra:
+                raw = self._shard_compact(raw)
+            else:
+                raw = shard_batch(raw, self.mesh)
             if self._placed_src is not params:  # cache keyed on object identity
                 self._placed_params = replicate(params, self.mesh)
                 self._placed_src = params
             params = self._placed_params
         return self._jitted(params, raw)
+
+    _COMPACT_REPLICATED = ("spec_wl", "spec_flux", "spec_valid", "spec_has")
+
+    def _shard_compact(self, raw: dict) -> dict:
+        """Per-key shardings for the compact-spectra layout (see __init__)."""
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from applecider_tpu.parallel.mesh import batch_sharding
+
+        out = {}
+        for k, v in raw.items():
+            if k in self._COMPACT_REPLICATED:
+                out[k] = _jax.device_put(v, NamedSharding(self.mesh, P()))
+            else:
+                # v.ndim, not np.asarray(v).ndim: placed jax Arrays must not
+                # round-trip through the host on every dispatch
+                out[k] = _jax.device_put(v, batch_sharding(self.mesh, v.ndim))
+        return out
 
 
 def pack_alert_batch(
@@ -966,6 +988,8 @@ class FusedSpectraStream:
             gather[np.asarray(spec_idx)] = 1 + np.arange(len(spec_idx), dtype=np.int32)
         raw.update(spec_wl=wl, spec_flux=fx, spec_valid=vd,
                    spec_has=has, spec_gather=gather)
+        if self.pipe.mesh is not None and device is None:
+            return self.pipe._shard_compact(raw)
         put = (lambda v: jax.device_put(v, device)) if device is not None \
             else jax.device_put
         return {k: put(v) for k, v in raw.items()}

@@ -192,3 +192,33 @@ def test_routed_stream_sharded_matches_single():
     routed = RoutedAlertStream(task, batch_buckets=(4, 8), wave_grid=grid, mesh=mesh)
     got = routed(params, samples)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+@needs_8
+def test_fused_stream_sharded_matches_single():
+    """FusedSpectraStream composes with a data mesh: batch tensors shard
+    dim 0, the compact spectra block replicates (every shard gathers from
+    the full block), outputs equal the unsharded router's."""
+    from applecider_tpu.infer.stream import FusedSpectraStream
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _fusion_batch, _fusion_task
+    from bench import make_stream_samples
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    params = task.init(jax.random.PRNGKey(0), _fusion_batch(4, tiny=True))["params"]
+    grid = np.linspace(4500.0, 7980.0, 128).astype(np.float32)
+    samples = make_stream_samples(16, seed=9, spectrum_frac=0.4)
+
+    plain = FusedSpectraStream(task, wave_grid=grid)
+    ref = plain(params, samples, length_buckets=(32, 64))
+
+    mesh = make_mesh(shape=(8, 1))
+    fused = FusedSpectraStream(task, wave_grid=grid, mesh=mesh)
+    placed = fused.place(samples, length_buckets=(32, 64))
+    # batch tensors shard 8-way; the compact spectra block replicates
+    assert len({s.device for s in placed["image"].addressable_shards}) == 8
+    assert placed["spec_wl"].sharding.is_fully_replicated
+    got = fused.run_placed(params, placed)()
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
