@@ -53,6 +53,29 @@ def _band_group_flags_scan(t: jax.Array, is_band: jax.Array, dt_days: float) -> 
     return flags
 
 
+def _all_band_group_flags_scan(t: jax.Array, band: jax.Array, valid: jax.Array,
+                               dt_days: float) -> jax.Array:
+    """Greedy window starts for ALL bands in one fused scan -> (P, N_BANDS).
+
+    One P-step scan carrying the (N_BANDS,) open-group start times instead
+    of N_BANDS independent scans: the merge's TPU cost is dominated by
+    sequential scan steps (each step is a tiny batched elementwise op), so
+    fusing the bands cuts the sequential depth 3x. Per-band columns are
+    exactly ``_band_group_flags_scan(t, valid & (band == b), dt)``."""
+
+    def step(t0, x):
+        ti, bi, vi = x
+        is_b = (bi == jnp.arange(N_BANDS)) & vi
+        new_group = is_b & (ti > t0 + dt_days)
+        t0 = jnp.where(new_group, ti, t0)
+        return t0, new_group
+
+    _, flags = jax.lax.scan(
+        step, jnp.full((N_BANDS,), -jnp.inf, t.dtype), (t, band, valid)
+    )
+    return flags
+
+
 def _band_group_flags(t: jax.Array, is_band: jax.Array, dt_days: float) -> jax.Array:
     """Greedy window starts via pointer doubling — O(log P) depth.
 
@@ -145,15 +168,22 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
     # 3P+1 — 3x smaller segment_sum and compaction sort, identical numerics
     positions = jnp.arange(P, dtype=jnp.int32)
     seg_ids = jnp.full((P,), P, dtype=jnp.int32)  # overflow for invalid
-    for b in range(N_BANDS):
-        is_b = valid & (band == b)
-        if flags_impl == "scan":
-            flags = _band_group_flags_scan(t_sorted, is_b, dt_days)
-        else:
+    if flags_impl == "scan":
+        # one fused P-step scan + one (P, 3) associative scan for all bands
+        flags3 = _all_band_group_flags_scan(t_sorted, band, valid, dt_days)
+        marker3 = jnp.where(flags3, positions[:, None], -1)
+        latest3 = jax.lax.associative_scan(jnp.maximum, marker3, axis=0)
+        latest_by_band = jnp.take_along_axis(
+            latest3, band.astype(jnp.int32)[:, None], axis=1
+        )[:, 0]
+        seg_ids = jnp.where(valid, latest_by_band, seg_ids)
+    else:
+        for b in range(N_BANDS):
+            is_b = valid & (band == b)
             flags = _band_group_flags(t_sorted, is_b, dt_days)
-        marker = jnp.where(flags, positions, -1)
-        latest_start = jax.lax.associative_scan(jnp.maximum, marker)
-        seg_ids = jnp.where(is_b, latest_start, seg_ids)
+            marker = jnp.where(flags, positions, -1)
+            latest_start = jax.lax.associative_scan(jnp.maximum, marker)
+            seg_ids = jnp.where(is_b, latest_start, seg_ids)
 
     w = jnp.where(valid, 1.0 / (err + eps), 0.0)
     num_segments = P + 1

@@ -663,3 +663,28 @@ def test_s2d_auto_routing_gate(rng, monkeypatch):
         denom = max(float(jnp.abs(d).max()), 1e-9)
         np.testing.assert_allclose(np.asarray(a) / denom, np.asarray(d) / denom,
                                    rtol=0, atol=2e-6)
+
+
+def test_fused_band_flags_match_per_band_scan(rng):
+    """The single fused all-bands scan == N_BANDS independent scans."""
+    from applecider_tpu.infer.stream import (
+        _all_band_group_flags_scan, _band_group_flags_scan,
+    )
+
+    for trial in range(20):
+        P = int(rng.integers(1, 90))
+        t = np.sort(rng.uniform(0, 30, P)).astype(np.float32)
+        if trial % 3 == 0 and P > 4:
+            t[P // 2] = t[P // 2 - 1]  # duplicates
+        n_valid = int(rng.integers(0, P + 1))
+        valid = np.arange(P) < n_valid
+        t_sorted = np.where(valid, t, np.inf).astype(np.float32)
+        band = rng.integers(0, 3, P).astype(np.int32)
+        got = np.asarray(_all_band_group_flags_scan(
+            jnp.asarray(t_sorted), jnp.asarray(band), jnp.asarray(valid), 0.5))
+        for b in range(3):
+            want = np.asarray(_band_group_flags_scan(
+                jnp.asarray(t_sorted),
+                jnp.asarray(valid & (band == b)), 0.5))
+            np.testing.assert_array_equal(got[:, b], want,
+                                          err_msg=f"trial {trial} band {b}")
