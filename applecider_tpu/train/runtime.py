@@ -239,6 +239,7 @@ class AppleCiderRuntime:
             ),
             batch_size=int(sec.get("batch_size", 1024)),
             binned=bool(sec.get("binned", True)),
+            length_buckets=tuple(sec.get("length_buckets", (64, 128, 192, 257))),
             stats_mean=mean,
             stats_std=std,
             int8=bool(sec.get("int8", False)),
