@@ -23,6 +23,7 @@ Host keeps only raw-file decode (FITS stamps + candidate floats) — see
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -131,7 +132,7 @@ def _rank_compact(key: jax.Array) -> jax.Array:
 
 def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: float = 1e-8,
                       assume_sorted: bool = False, flags_impl: str = "auto",
-                      compact_impl: str = "auto"):
+                      compact_impl: str = "auto", seg_ids=None):
     """One sample: (P,) arrays -> merged (P,) arrays + valid mask.
 
     Returns (t_m, f_m, e_m, band_m, valid_m) sorted by merged time, padded
@@ -167,8 +168,11 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
     # since every point belongs to one band): a P+1 segment space instead of
     # 3P+1 — 3x smaller segment_sum and compaction sort, identical numerics
     positions = jnp.arange(P, dtype=jnp.int32)
-    seg_ids = jnp.full((P,), P, dtype=jnp.int32)  # overflow for invalid
-    if flags_impl == "scan":
+    if seg_ids is not None:
+        # precomputed (e.g. the batched Pallas scan kernel,
+        # ops/merge_scan.seg_ids_pallas); requires assume_sorted layout
+        pass
+    elif flags_impl == "scan":
         # one fused P-step scan + one (P, 3) associative scan for all bands
         flags3 = _all_band_group_flags_scan(t_sorted, band, valid, dt_days)
         marker3 = jnp.where(flags3, positions[:, None], -1)
@@ -176,8 +180,9 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
         latest_by_band = jnp.take_along_axis(
             latest3, band.astype(jnp.int32)[:, None], axis=1
         )[:, 0]
-        seg_ids = jnp.where(valid, latest_by_band, seg_ids)
+        seg_ids = jnp.where(valid, latest_by_band, P)
     else:
+        seg_ids = jnp.full((P,), P, dtype=jnp.int32)  # overflow for invalid
         for b in range(N_BANDS):
             is_b = valid & (band == b)
             flags = _band_group_flags(t_sorted, is_b, dt_days)
@@ -604,13 +609,37 @@ class AlertStreamPipeline:
                           percentile_headroom=percentile_headroom)
 
     def _forward_body(self, params, raw):
-        merge = jax.vmap(
-            partial(merge_light_curve, dt_days=self.dt_days, assume_sorted=True)
-        )
-        t_m, f_m, e_m, band_m, valid_m = merge(
-            raw["photo_t"], raw["photo_flux"], raw["photo_err"],
-            raw["photo_band"], raw["photo_valid"],
-        )
+        # ACMERGE=pallas: compute the merge's sequential group-start scan in
+        # one batched Pallas program (ops/merge_scan.py) instead of the XLA
+        # while loop under vmap. Opt-in until on-chip validation
+        # ("pallas_interpret" runs the kernel interpreter for CPU tests).
+        acmerge = os.environ.get("ACMERGE", "")
+        if acmerge.startswith("pallas"):
+            from applecider_tpu.ops.merge_scan import seg_ids_pallas
+
+            t_sorted_b = jnp.where(raw["photo_valid"], raw["photo_t"], jnp.inf)
+            seg_b = seg_ids_pallas(
+                t_sorted_b, raw["photo_band"], raw["photo_valid"],
+                dt_days=self.dt_days, interpret=acmerge == "pallas_interpret",
+            )
+            merge = jax.vmap(
+                lambda t_, f_, e_, b_, v_, s_: merge_light_curve(
+                    t_, f_, e_, b_, v_, dt_days=self.dt_days,
+                    assume_sorted=True, seg_ids=s_,
+                )
+            )
+            t_m, f_m, e_m, band_m, valid_m = merge(
+                raw["photo_t"], raw["photo_flux"], raw["photo_err"],
+                raw["photo_band"], raw["photo_valid"], seg_b,
+            )
+        else:
+            merge = jax.vmap(
+                partial(merge_light_curve, dt_days=self.dt_days, assume_sorted=True)
+            )
+            t_m, f_m, e_m, band_m, valid_m = merge(
+                raw["photo_t"], raw["photo_flux"], raw["photo_err"],
+                raw["photo_band"], raw["photo_valid"],
+            )
         feats, pad_mask, ctx = jax.vmap(featurize_events)(t_m, f_m, e_m, band_m, valid_m)
         cont = (feats[..., :4] - self.mean) / (self.std + 1e-8)
         photometry = jnp.concatenate([cont, feats[..., 4:]], axis=-1)

@@ -28,6 +28,9 @@ python scripts/tpu_preprocess_cost.py | tee "$OUT/preprocess_cost_late.json" || 
 echo "=== [3] int8 standalone A/B"
 python scripts/tpu_int8_ab.py || true
 
+echo "=== [3b] Pallas merge-scan A/B (oracle first)"
+python scripts/tpu_merge_scan_ab.py || true
+
 echo "=== [4] train-step probe (rbg dropout RNG)"
 python scripts/tpu_train_probe.py | tee "$OUT/train_step_late.jsonl" || true
 
