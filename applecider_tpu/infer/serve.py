@@ -105,20 +105,14 @@ def _raw_spectrum(df, max_points: int = 512) -> Optional[tuple[np.ndarray, np.nd
     to ``max_points`` segments covering the FULL wavelength range: naive
     ``[:max_points]`` truncation would keep only the bluest stub and let
     the device resample extrapolate garbage across most of the grid."""
+    from applecider_tpu.infer.stream import decimate_spectrum
     from applecider_tpu.preprocessing.spectra import raw_spectrum_columns
 
     raw = raw_spectrum_columns(df)
     if raw is None:
         return None
-    x, y = raw
-    n = x.shape[0]
-    if n > max_points:
-        # equal-count segment means (anti-aliased decimation, range-preserving)
-        edges = np.linspace(0, n, max_points + 1).astype(np.int64)
-        counts = np.diff(edges)
-        x = np.add.reduceat(x, edges[:-1]) / counts
-        y = np.add.reduceat(y, edges[:-1]) / counts
-    return x.astype(np.float32), y.astype(np.float32)
+    x, y = decimate_spectrum(*raw, max_points)
+    return np.asarray(x, np.float32), np.asarray(y, np.float32)
 
 
 def alert_samples_for_object(

@@ -718,6 +718,37 @@ class AlertStreamPipeline:
         return out
 
 
+def decimate_spectrum(wl: np.ndarray, flux: np.ndarray, max_points: int):
+    """Bin-average an overlong raw spectrum down to ``max_points`` segments.
+
+    Equal-count segment means preserve the FULL wavelength range (real
+    instrument exports run to thousands of samples; a ``[:max_points]``
+    truncation would keep only the bluest stub and let the on-device
+    resample extrapolate garbage across most of the grid). No-op for
+    spectra that already fit."""
+    n = len(wl)
+    if n <= max_points:
+        return wl, flux
+    wl = np.asarray(wl, np.float64)
+    flux = np.asarray(flux, np.float64)
+    edges = np.linspace(0, n, max_points + 1).astype(np.int64)
+    counts = np.diff(edges)
+    wl_d = np.add.reduceat(wl, edges[:-1]) / counts
+    fx_d = np.add.reduceat(flux, edges[:-1]) / counts
+    return wl_d.astype(np.float32), fx_d.astype(np.float32)
+
+
+def _fitted_spectra(samples: list[dict], idx: list[int], W: int):
+    """Per-sample (wl, flux) arrays fitted to width W (decimated if longer)."""
+    out = []
+    for i in idx:
+        out.append(decimate_spectrum(
+            np.asarray(samples[i]["spec_wl"], np.float32),
+            np.asarray(samples[i]["spec_flux"], np.float32), W,
+        ))
+    return out
+
+
 def pack_alert_batch(
     samples: list[dict], max_photo: int = 257, max_spec: int = 512,
     length_buckets: Optional[tuple[int, ...]] = None,
@@ -817,16 +848,10 @@ def pack_alert_batch(
     spec_idx = [i for i, s in enumerate(samples)
                 if s.get("spec_wl") is not None and len(s.get("spec_wl", ())) >= 2]
     if spec_idx:
-        slens = np.fromiter(
-            (min(len(samples[i]["spec_wl"]), max_spec) for i in spec_idx),
-            np.int64, count=len(spec_idx),
-        )
-        wl_all = np.concatenate(
-            [np.asarray(samples[i]["spec_wl"], np.float32)[:max_spec] for i in spec_idx]
-        )
-        fx_all = np.concatenate(
-            [np.asarray(samples[i]["spec_flux"], np.float32)[:max_spec] for i in spec_idx]
-        )
+        fitted = _fitted_spectra(samples, spec_idx, max_spec)
+        slens = np.fromiter((len(w) for w, _ in fitted), np.int64, count=len(fitted))
+        wl_all = np.concatenate([w for w, _ in fitted])
+        fx_all = np.concatenate([f for _, f in fitted])
         srows = np.repeat(np.asarray(spec_idx, np.int64), slens)
         sstarts = np.concatenate([[0], np.cumsum(slens)[:-1]])
         scols = np.arange(wl_all.shape[0], dtype=np.int64) - np.repeat(sstarts, slens)
@@ -1024,18 +1049,13 @@ class FusedSpectraStream:
         has = np.zeros((S + 1,), bool)
         gather = np.zeros((B,), np.int32)
         if spec_idx:
-            # same flat-concat + one-lexsort packing as pack_alert_batch:
-            # the device skips its argsort (assume_sorted contract)
-            slens = np.fromiter(
-                (min(len(samples[i]["spec_wl"]), W) for i in spec_idx),
-                np.int64, count=len(spec_idx),
-            )
-            wl_all = np.concatenate(
-                [np.asarray(samples[i]["spec_wl"], np.float32)[:W] for i in spec_idx]
-            )
-            fx_all = np.concatenate(
-                [np.asarray(samples[i]["spec_flux"], np.float32)[:W] for i in spec_idx]
-            )
+            # same flat-concat + one-lexsort packing as pack_alert_batch
+            # (overlong spectra decimated, not truncated): the device skips
+            # its argsort (assume_sorted contract)
+            fitted = _fitted_spectra(samples, spec_idx, W)
+            slens = np.fromiter((len(w) for w, _ in fitted), np.int64, count=len(fitted))
+            wl_all = np.concatenate([w for w, _ in fitted])
+            fx_all = np.concatenate([f for _, f in fitted])
             srows = np.repeat(1 + np.arange(len(spec_idx), dtype=np.int64), slens)
             sstarts = np.concatenate([[0], np.cumsum(slens)[:-1]])
             scols = np.arange(wl_all.shape[0], dtype=np.int64) - np.repeat(sstarts, slens)

@@ -688,3 +688,44 @@ def test_fused_band_flags_match_per_band_scan(rng):
                 jnp.asarray(valid & (band == b)), 0.5))
             np.testing.assert_array_equal(got[:, b], want,
                                           err_msg=f"trial {trial} band {b}")
+
+
+def test_pack_decimates_long_spectra_full_range():
+    """Raw spectra longer than max_spec are bin-averaged over the full
+    wavelength range (a [:max_spec] truncation would keep only the bluest
+    stub); short spectra pass through exactly."""
+    wl = np.linspace(3500, 9500, 2000).astype(np.float32)
+    fx = np.sin(wl / 300.0).astype(np.float32)
+    s = {
+        "photo_t": np.array([0.0, 1.0], np.float32),
+        "photo_flux": np.ones(2, np.float32),
+        "photo_err": np.ones(2, np.float32),
+        "photo_band": np.zeros(2, np.int32),
+        "image": np.zeros((63, 63, 3), np.float32),
+        "meta19": np.zeros(19, np.float32),
+        "spec_wl": wl, "spec_flux": fx,
+    }
+    raw = pack_alert_batch([s], max_photo=4, max_spec=512)
+    assert raw["spec_valid"][0].sum() == 512
+    got_wl = raw["spec_wl"][0][raw["spec_valid"][0]]
+    assert got_wl[0] < 3520 and got_wl[-1] > 9480
+    got_fx = raw["spec_flux"][0][raw["spec_valid"][0]]
+    np.testing.assert_allclose(got_fx, np.sin(got_wl / 300.0), atol=0.02)
+
+    # FusedSpectraStream's compact block applies the same decimation
+    from applecider_tpu.infer.stream import FusedSpectraStream
+
+    class _T:  # placement only — no forward needed
+        pass
+
+    fused = FusedSpectraStream.__new__(FusedSpectraStream)
+    fused.spec_buckets = (0, 2)
+    fused.max_spec = 512
+
+    class _Pipe:
+        mesh = None
+    fused.pipe = _Pipe()
+    placed = FusedSpectraStream.place(fused, [s], length_buckets=(4,))
+    swl = np.asarray(placed["spec_wl"])[1]
+    svd = np.asarray(placed["spec_valid"])[1]
+    assert svd.sum() == 512 and swl[svd][-1] > 9480
