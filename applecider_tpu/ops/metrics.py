@@ -159,3 +159,55 @@ def dirichlet_random_pr_auc_baseline(
         probs = rng.dirichlet(np.ones(num_classes), size=len(labels))
         scores.append(macro_auprc(probs, labels))
     return float(np.nanmean(scores))
+
+
+def early_classification_report(
+    results: list, labels_by_object: dict, num_classes: int | None = None
+) -> dict:
+    """Per-alert serving output -> early-classification quality.
+
+    ``results``: serve output rows ({object_id, jd, probs}, per-object jd
+    order — ``infer.serve.serve_alert_stream`` emits exactly this);
+    ``labels_by_object``: object_id -> integer class.
+
+    Returns the reference's per-alert confusion matrix over ALL alerts
+    (``brew_cider.py:1134-1193`` evaluate_alert semantics) plus the
+    early-classification curve the production stream actually cares
+    about: accuracy at the k-th alert of each object (how soon the
+    classifier is right), and accuracy at each object's final alert.
+    """
+    per_obj: dict = {}
+    for r in results:
+        oid = r["object_id"]
+        if oid in labels_by_object:
+            per_obj.setdefault(oid, []).append(np.asarray(r["probs"]))
+    if not per_obj:
+        raise ValueError("no serve results matched labels_by_object")
+    if num_classes is None:
+        num_classes = len(next(iter(per_obj.values()))[0])
+
+    all_preds, all_true = [], []
+    final_preds, final_true = [], []
+    max_k = max(len(v) for v in per_obj.values())
+    hits_at_k = np.zeros(max_k)
+    n_at_k = np.zeros(max_k)
+    for oid, seq in per_obj.items():
+        y = int(labels_by_object[oid])
+        preds = [int(np.argmax(p)) for p in seq]
+        all_preds += preds
+        all_true += [y] * len(preds)
+        final_preds.append(preds[-1])
+        final_true.append(y)
+        for k, p in enumerate(preds):
+            hits_at_k[k] += p == y
+            n_at_k[k] += 1
+    return {
+        "confusion_matrix": confusion_matrix(
+            np.asarray(all_preds), np.asarray(all_true), num_classes
+        ),
+        "per_alert_accuracy": float(np.mean(np.asarray(all_preds) == np.asarray(all_true))),
+        "accuracy_at_alert_k": (hits_at_k / np.maximum(n_at_k, 1)).tolist(),
+        "objects_at_alert_k": n_at_k.astype(int).tolist(),
+        "final_alert_accuracy": float(np.mean(np.asarray(final_preds) == np.asarray(final_true))),
+        "n_objects": len(per_obj),
+    }

@@ -99,3 +99,28 @@ def test_dirichlet_floor_is_low(rng):
     labels = rng.integers(0, 5, size=100)
     floor = dirichlet_random_pr_auc_baseline(labels, 5, n_trials=20)
     assert 0.05 < floor < 0.6
+
+
+def test_early_classification_report():
+    from applecider_tpu.ops.metrics import early_classification_report
+
+    def p(c):
+        v = np.full(3, 0.1, np.float32)
+        v[c] = 0.8
+        return v
+
+    results = [
+        {"object_id": "A", "jd": 1.0, "probs": p(0)},  # wrong early
+        {"object_id": "A", "jd": 2.0, "probs": p(1)},  # right late
+        {"object_id": "B", "jd": 1.0, "probs": p(2)},
+        {"object_id": "B", "jd": 2.0, "probs": p(2)},
+        {"object_id": "C", "jd": 5.0, "probs": p(0)},  # unlabeled: ignored
+    ]
+    rep = early_classification_report(results, {"A": 1, "B": 2})
+    assert rep["n_objects"] == 2
+    assert rep["accuracy_at_alert_k"] == [0.5, 1.0]
+    assert rep["objects_at_alert_k"] == [2, 2]
+    assert rep["final_alert_accuracy"] == 1.0
+    assert rep["per_alert_accuracy"] == 0.75
+    cm = rep["confusion_matrix"]
+    assert cm.sum() == 4 and cm[1, 1] == 1 and cm[2, 2] == 2 and cm[1, 0] == 1
