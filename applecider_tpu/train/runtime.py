@@ -189,6 +189,71 @@ class AppleCiderRuntime:
     # keep the reference verb name alive
     to_onnx = export
 
+    def export_serving(self, out_path: str | Path | None = None,
+                       length_buckets: tuple = (64, 128, 192, 257),
+                       max_spec: int = 512, params=None,
+                       wave_grid=None) -> Path:
+        """Serialize the FULL serving graph (device preprocess + fusion
+        forward + softmax) as StableHLO, one program per photometry-length
+        bucket, each with a symbolic batch dim when the lowering allows.
+
+        Unlike ``export()`` (the model's ``predict`` on featurized
+        batches), this artifact consumes ``pack_alert_batch``'s raw layout
+        — merge/featurize/normalize/resample ride inside the program — so
+        any XLA runtime can serve alerts with no Python feature code.
+        """
+        from applecider_tpu.infer.stream import AlertStreamPipeline
+
+        task = self._task()
+        if params is None:
+            if not self.datasets:
+                self.prepare()
+            params, _, _ = self._restore_latest_params(task)
+        pipe = AlertStreamPipeline(task, wave_grid=wave_grid)
+        out_path = Path(out_path) if out_path else self._new_run_dir("export-serving")
+        out_path.mkdir(parents=True, exist_ok=True)
+
+        def raw_struct(P, b):
+            f32, i32 = np.float32, np.int32
+            dims = {
+                "photo_t": ((b, P), f32), "photo_flux": ((b, P), f32),
+                "photo_err": ((b, P), f32), "photo_band": ((b, P), i32),
+                "photo_valid": ((b, P), bool),
+                "image": ((b, 63, 63, 3), f32),
+                "meta19": ((b, 19), f32),
+                "spec_wl": ((b, max_spec), f32), "spec_flux": ((b, max_spec), f32),
+                "spec_valid": ((b, max_spec), bool),
+                "has_spectrum": ((b,), bool),
+            }
+            return {k: jax.ShapeDtypeStruct(shape, dtype)
+                    for k, (shape, dtype) in dims.items()}
+
+        meta = {"length_buckets": list(length_buckets), "max_spec": max_spec,
+                "buckets": {}}
+        for P in length_buckets:
+            try:
+                scope = jax.export.SymbolicScope()
+                b = jax.export.symbolic_shape("b", scope=scope)[0]
+                struct = raw_struct(P, b)
+                exported = jax.export.export(jax.jit(pipe._forward))(params, struct)
+                symbolic = True
+            except Exception as e:  # noqa: BLE001 — concrete fallback
+                struct = raw_struct(P, int(self.config.get_path(
+                    "serve.batch_size", default=1024)))
+                exported = jax.export.export(jax.jit(pipe._forward))(params, struct)
+                symbolic = False
+                meta["buckets"].setdefault("errors", {})[str(P)] = f"{type(e).__name__}: {e}"
+            (out_path / f"serving_P{P}.stablehlo").write_bytes(exported.serialize())
+            meta["buckets"][str(P)] = {"symbolic_batch": symbolic}
+        (out_path / "serving_meta.json").write_text(json.dumps(meta))
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save((out_path / "params").absolute(), params, force=True)
+        ckptr.wait_until_finished()
+        return out_path
+
     def serve(self, raw_path: str | Path | None = None,
               params=None) -> dict:
         """Classify every alert of a raw-data directory, per-alert causal.

@@ -199,3 +199,52 @@ def test_runtime_serve_falls_back_to_dataset_stats(tmp_path, monkeypatch):
     rt.serve(params={})
     np.testing.assert_array_equal(captured["stats_mean"], np.arange(4, dtype=np.float32))
     np.testing.assert_array_equal(captured["stats_std"], np.full(4, 2.0))
+
+
+def test_export_serving_roundtrip(corpus, tmp_path):
+    """export_serving serializes the raw-layout serving graph; the
+    deserialized program reproduces the live pipeline's probabilities,
+    including at a batch size different from export time (symbolic batch)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import jax
+
+    from __graft_entry__ import _fusion_task
+
+    from applecider_tpu.infer.stream import AlertStreamPipeline, pack_alert_batch
+    from applecider_tpu.train.runtime import AppleCiderRuntime
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    pairs = list(iter_alert_samples(corpus))
+    variables = task.init(
+        jax.random.PRNGKey(0),
+        (np.zeros((2, 8, 7), np.float32), np.zeros((2, 8), bool),
+         np.zeros((2, 24), np.float32), np.zeros((2, 63, 63, 3), np.float32),
+         np.zeros((2, len(GRID)), np.float32), np.zeros(2, np.int64)),
+    )
+    params = variables["params"]
+
+    tiny = {
+        "model": {"name": "Fusion",
+                  "BaselineCLS": {"d_model": 16, "n_heads": 2, "n_layers": 1,
+                                  "dropout": 0.0},
+                  "SpectraNet": {"channels": [4, 8], "depths": [1, 1],
+                                 "kernel_sizes_per_stage": [[3, 7], [3, 5]]},
+                  "AstroMiNN": {"backbone_depths": [1, 1],
+                                "backbone_dims": [8, 16]}},
+        "train": {"compute_dtype": "float32"},
+    }
+    rt = AppleCiderRuntime(overrides=tiny, workdir=tmp_path / "results")
+    out = rt.export_serving(out_path=tmp_path / "exp", length_buckets=(32,),
+                            max_spec=128, params=params, wave_grid=GRID)
+    assert (out / "serving_P32.stablehlo").exists()
+
+    exported = jax.export.deserialize((out / "serving_P32.stablehlo").read_bytes())
+    pipe = AlertStreamPipeline(task, wave_grid=GRID)
+    for n in (4, 7):  # two batch sizes — exercises the symbolic dim
+        raw = pack_alert_batch([s for _, s in pairs[:n]], max_photo=32, max_spec=128)
+        want = np.asarray(pipe(params, raw))
+        got = np.asarray(exported.call(params, raw))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
