@@ -214,9 +214,19 @@ def iter_alert_samples(
             p.parent.name for p in data_dir.glob("*/alerts.npy")
         )
     for obj_id in obj_ids:
-        yield from alert_samples_for_object(
-            obj_id, data_dir, causal_spectrum=causal_spectrum
-        )
+        try:
+            yield from alert_samples_for_object(
+                obj_id, data_dir, causal_spectrum=causal_spectrum
+            )
+        except Exception as e:  # noqa: BLE001 — reference skip-and-log policy
+            # one corrupt object must not kill a live stream
+            # (preprocess_multimodal.py:961-962 does the same during builds)
+            import warnings
+
+            warnings.warn(
+                f"skipping object {obj_id}: {type(e).__name__}: {e}",
+                stacklevel=2,
+            )
 
 
 def serve_alert_stream(

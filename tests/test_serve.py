@@ -248,3 +248,20 @@ def test_export_serving_roundtrip(corpus, tmp_path):
         want = np.asarray(pipe(params, raw))
         got = np.asarray(exported.call(params, raw))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_corrupt_object_skipped_not_fatal(corpus, tmp_path):
+    """A corrupt alerts.npy must skip that object with a warning, not kill
+    the stream (reference skip-and-log, preprocess_multimodal.py:961-962)."""
+    import shutil
+    import warnings
+
+    bad_dir = tmp_path / "raw"
+    shutil.copytree(corpus, bad_dir)
+    (bad_dir / "ZTFSYN0001" / "alerts.npy").write_bytes(b"not a pickle")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = list(iter_alert_samples(bad_dir))
+    assert any("ZTFSYN0001" in str(x.message) for x in w)
+    assert len(pairs) > 0
+    assert all(i["object_id"] != "ZTFSYN0001" for i, _ in pairs)
