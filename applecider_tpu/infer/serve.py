@@ -163,7 +163,10 @@ def alert_samples_for_object(
             cand_jd.append(float(cand["jd"]))
         except (KeyError, TypeError, ValueError):
             cand_jd.append(np.nan)
-    triplets = _decode_all_triplets(alerts, hw)
+    # batch-decode only the servable (finite-jd) alerts
+    finite = [k for k in range(len(alerts)) if np.isfinite(cand_jd[k])]
+    triplets = dict(zip(finite, _decode_all_triplets(
+        [alerts[k] for k in finite], hw)))
     for k in np.argsort(np.asarray(cand_jd), kind="stable"):
         jd_a = cand_jd[k]
         if not np.isfinite(jd_a):

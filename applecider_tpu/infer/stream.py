@@ -173,14 +173,18 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
         # ops/merge_scan.seg_ids_pallas); requires assume_sorted layout
         pass
     elif flags_impl == "scan":
-        # one fused P-step scan + one (P, 3) associative scan for all bands
+        # one fused P-step scan + one (P, 3) associative scan for all bands.
+        # in_band guards valid points whose band falls outside [0, N_BANDS):
+        # they must stay unmerged (seg P) like in the per-band doubling path
+        # (a raw take_along_axis would clamp them into band N_BANDS-1)
+        in_band = (band >= 0) & (band < N_BANDS)
         flags3 = _all_band_group_flags_scan(t_sorted, band, valid, dt_days)
         marker3 = jnp.where(flags3, positions[:, None], -1)
         latest3 = jax.lax.associative_scan(jnp.maximum, marker3, axis=0)
         latest_by_band = jnp.take_along_axis(
-            latest3, band.astype(jnp.int32)[:, None], axis=1
+            latest3, band.astype(jnp.int32).clip(0, N_BANDS - 1)[:, None], axis=1
         )[:, 0]
-        seg_ids = jnp.where(valid, latest_by_band, P)
+        seg_ids = jnp.where(valid & in_band, latest_by_band, P)
     else:
         seg_ids = jnp.full((P,), P, dtype=jnp.int32)  # overflow for invalid
         for b in range(N_BANDS):
@@ -731,6 +735,12 @@ def decimate_spectrum(wl: np.ndarray, flux: np.ndarray, max_points: int):
         return wl, flux
     wl = np.asarray(wl, np.float64)
     flux = np.asarray(flux, np.float64)
+    if np.any(np.diff(wl) < 0):
+        # segment means are only meaningful over wavelength-adjacent
+        # samples; the packing contract allows unsorted spectra (the
+        # lexsort downstream used to absorb them), so sort here first
+        order = np.argsort(wl, kind="stable")
+        wl, flux = wl[order], flux[order]
     edges = np.linspace(0, n, max_points + 1).astype(np.int64)
     counts = np.diff(edges)
     wl_d = np.add.reduceat(wl, edges[:-1]) / counts

@@ -52,9 +52,12 @@ def _seg_ids_kernel(t_ref, band_ref, valid_ref, out_ref, *, dt_days: float, P: i
         new = is_b & (ti[None, :] > t0 + dt_days)
         t0 = jnp.where(new, ti[None, :], t0)
         start = jnp.where(new, i, start)
-        # each valid element belongs to exactly one band: select its start
+        # each valid in-band element belongs to exactly one band: select its
+        # start. any(is_b) also excludes valid points whose band falls
+        # outside [0, N_BANDS) — those stay unmerged (seg P), matching the
+        # XLA paths.
         seg = jnp.sum(jnp.where(is_b, start, 0), axis=0)
-        out_ref[i, :] = jnp.where(vi, seg, P)
+        out_ref[i, :] = jnp.where(jnp.any(is_b, axis=0), seg, P)
         return t0, start
 
     init = (jnp.full((N_BANDS, lanes), -jnp.inf, jnp.float32),
@@ -104,12 +107,15 @@ def seg_ids_scan_reference(t_sorted, band, valid, dt_days: float = 0.5):
 
     def one(t, b, v):
         P = t.shape[0]
+        in_band = (b >= 0) & (b < N_BANDS)
         flags3 = _all_band_group_flags_scan(t, b, v, dt_days)
         positions = jnp.arange(P, dtype=jnp.int32)
         latest3 = jax.lax.associative_scan(
             jnp.maximum, jnp.where(flags3, positions[:, None], -1), axis=0
         )
-        latest = jnp.take_along_axis(latest3, b.astype(jnp.int32)[:, None], axis=1)[:, 0]
-        return jnp.where(v, latest, P)
+        latest = jnp.take_along_axis(
+            latest3, b.astype(jnp.int32).clip(0, N_BANDS - 1)[:, None], axis=1
+        )[:, 0]
+        return jnp.where(v & in_band, latest, P)
 
     return jax.vmap(one)(t_sorted, band, valid)

@@ -185,6 +185,14 @@ def early_classification_report(
         raise ValueError("no serve results matched labels_by_object")
     if num_classes is None:
         num_classes = len(next(iter(per_obj.values()))[0])
+    bad = {oid: int(labels_by_object[oid]) for oid in per_obj
+           if not 0 <= int(labels_by_object[oid]) < num_classes}
+    if bad:
+        raise ValueError(
+            f"labels outside [0, {num_classes}) for objects {sorted(bad)[:5]} "
+            f"(model emits {num_classes} classes — pass num_classes or remap "
+            "the taxonomy)"
+        )
 
     all_preds, all_true = [], []
     final_preds, final_true = [], []

@@ -189,8 +189,43 @@ class AppleCiderRuntime:
     # keep the reference verb name alive
     to_onnx = export
 
+    def _serve_stats(self):
+        """(mean, std) photometry normalization from [serve].stats_event_path,
+        falling back to the fusion dataset's training stats (the model was
+        trained with these; serve/export_serving must normalize identically)."""
+        sec = self.config.section("serve")
+        stats_path = sec.get("stats_event_path", "")
+        if not stats_path:
+            from applecider_tpu.datasets.fusion_dataset import FusionDataset
+
+            stats_path = self.config.section(
+                "data_set", FusionDataset.SECTION
+            ).get("stats_event_path", "")
+        if not stats_path:
+            return None, None
+        with np.load(stats_path) as st:
+            return st["mean"].astype(np.float32)[:4], st["std"].astype(np.float32)[:4]
+
+    @staticmethod
+    def _export_with_symbolic_batch(fn, params, make_struct, concrete_b: int):
+        """jax.export with a symbolic batch dim; concrete fallback.
+
+        ``make_struct(b)`` builds the (pytree of) ShapeDtypeStructs for a
+        batch-size expression ``b``. Returns (exported, meta_dict)."""
+        meta = {"batch_size": int(concrete_b)}
+        try:
+            scope = jax.export.SymbolicScope()
+            b = jax.export.symbolic_shape("b", scope=scope)[0]
+            exported = jax.export.export(jax.jit(fn))(params, make_struct(b))
+            meta["symbolic_batch"] = True
+        except Exception as e:  # noqa: BLE001 — fall back to concrete shapes
+            exported = jax.export.export(jax.jit(fn))(params, make_struct(concrete_b))
+            meta["symbolic_batch"] = False
+            meta["symbolic_error"] = f"{type(e).__name__}: {e}"
+        return exported, meta
+
     def export_serving(self, out_path: str | Path | None = None,
-                       length_buckets: tuple = (64, 128, 192, 257),
+                       length_buckets: tuple | None = None,
                        max_spec: int = 512, params=None,
                        wave_grid=None) -> Path:
         """Serialize the FULL serving graph (device preprocess + fusion
@@ -209,7 +244,12 @@ class AppleCiderRuntime:
             if not self.datasets:
                 self.prepare()
             params, _, _ = self._restore_latest_params(task)
-        pipe = AlertStreamPipeline(task, wave_grid=wave_grid)
+        if length_buckets is None:  # same buckets the serve() feeder packs to
+            length_buckets = tuple(self.config.get_path(
+                "serve.length_buckets", default=(64, 128, 192, 257)))
+        mean, std = self._serve_stats()  # bake the TRAINING normalization in
+        pipe = AlertStreamPipeline(task, stats_mean=mean, stats_std=std,
+                                   wave_grid=wave_grid)
         out_path = Path(out_path) if out_path else self._new_run_dir("export-serving")
         out_path.mkdir(parents=True, exist_ok=True)
 
@@ -229,22 +269,14 @@ class AppleCiderRuntime:
                     for k, (shape, dtype) in dims.items()}
 
         meta = {"length_buckets": list(length_buckets), "max_spec": max_spec,
-                "buckets": {}}
+                "stats_baked_in": mean is not None, "buckets": {}}
+        concrete_b = int(self.config.get_path("serve.batch_size", default=1024))
         for P in length_buckets:
-            try:
-                scope = jax.export.SymbolicScope()
-                b = jax.export.symbolic_shape("b", scope=scope)[0]
-                struct = raw_struct(P, b)
-                exported = jax.export.export(jax.jit(pipe._forward))(params, struct)
-                symbolic = True
-            except Exception as e:  # noqa: BLE001 — concrete fallback
-                struct = raw_struct(P, int(self.config.get_path(
-                    "serve.batch_size", default=1024)))
-                exported = jax.export.export(jax.jit(pipe._forward))(params, struct)
-                symbolic = False
-                meta["buckets"].setdefault("errors", {})[str(P)] = f"{type(e).__name__}: {e}"
+            exported, bmeta = self._export_with_symbolic_batch(
+                pipe._forward, params, lambda b, P=P: raw_struct(P, b), concrete_b
+            )
             (out_path / f"serving_P{P}.stablehlo").write_bytes(exported.serialize())
-            meta["buckets"][str(P)] = {"symbolic_batch": symbolic}
+            meta["buckets"][str(P)] = bmeta
         (out_path / "serving_meta.json").write_text(json.dumps(meta))
 
         import orbax.checkpoint as ocp

@@ -62,7 +62,7 @@ def main():
 
         res = {"B": B, "P": P, "oracle_ok": True, "device": str(dev)}
         for label, fn in (("xla_scan", ref_fn), ("pallas", pal_fn)):
-            fn(*args)  # warm
+            sync(fn(*args))  # warm AND drain before the timer (relay rule)
             iters = 30
             t0 = time.perf_counter()
             out = None

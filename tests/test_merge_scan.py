@@ -67,3 +67,13 @@ def test_pipeline_with_pallas_merge_matches_default(rng, monkeypatch):
     monkeypatch.setenv("ACMERGE", "pallas_interpret")
     got = np.asarray(AlertStreamPipeline(task, wave_grid=grid)(params, raw))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_out_of_range_band_matches_reference(rng):
+    t, band, valid = _case(rng, 5, 24)
+    band = np.asarray(band).copy()
+    band[np.asarray(valid)] = rng.integers(0, 5, int(np.asarray(valid).sum()))
+    band = jnp.asarray(band.astype(np.int32))  # bands 3/4 = out of range
+    want = np.asarray(seg_ids_scan_reference(t, band, valid, 0.5))
+    got = np.asarray(seg_ids_pallas(t, band, valid, dt_days=0.5, interpret=True))
+    np.testing.assert_array_equal(got, want)

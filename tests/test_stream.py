@@ -729,3 +729,30 @@ def test_pack_decimates_long_spectra_full_range():
     swl = np.asarray(placed["spec_wl"])[1]
     svd = np.asarray(placed["spec_valid"])[1]
     assert svd.sum() == 512 and swl[svd][-1] > 9480
+
+
+def test_merge_out_of_range_band_stays_unmerged():
+    """A valid point whose band falls outside [0, 3) is excluded from every
+    group in EVERY implementation (doubling/scan x argsort/rank agree)."""
+    from applecider_tpu.infer.stream import merge_light_curve
+
+    t = np.array([1.0, 2.0, 3.0, 4.0, np.inf], np.float32)
+    flux = np.array([10, 20, 30, 40, 0], np.float32)
+    err = np.ones(5, np.float32)
+    band = np.array([0, 3, 0, 1, 0], np.int32)  # band 3 = out of range
+    valid = np.array([True, True, True, True, False])
+    outs = {}
+    for fi in ("doubling", "scan"):
+        for ci in ("argsort", "rank"):
+            outs[(fi, ci)] = [np.asarray(a) for a in merge_light_curve(
+                jnp.asarray(t), jnp.asarray(flux), jnp.asarray(err),
+                jnp.asarray(band), jnp.asarray(valid),
+                assume_sorted=True, flags_impl=fi, compact_impl=ci)]
+    base = outs[("doubling", "argsort")]
+    for k, got in outs.items():
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(a, b, err_msg=str(k))
+    # the band-3 point contributed to no merged row: 20 never appears
+    t_m, f_m, e_m, b_m, v_m = base
+    assert not np.any(np.isclose(f_m[v_m], 20.0))
+    assert v_m.sum() == 3  # three in-range groups survive
