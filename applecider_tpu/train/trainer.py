@@ -69,6 +69,14 @@ class Trainer:
             # reference finetune strategy B (baselineCLS_example notebook):
             # train the head with the pretrained trunk frozen, then unfreeze
             self.tx = freeze_subtrees(self.tx, freeze)
+        accum = int(config.get_path("train.grad_accum_steps", default=1))
+        if accum > 1:
+            # optimizer updates apply every `accum` microbatches with the
+            # mean gradient — large effective batches without the HBM cost
+            # (no reference counterpart; standard TPU memory/batch trade).
+            # Wraps INSIDE plateau scaling below so the plateau multiplier
+            # still applies to the emitted (accumulated) update.
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
         plateau_factor = float(config.get_path("train.plateau_factor", default=0.0))
         self.plateau = None
         if plateau_factor > 0.0:

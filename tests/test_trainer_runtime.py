@@ -154,3 +154,32 @@ def test_rbg_rng_impl_trains(prepared, tmp_path):
     rt.set_config("train.rng_impl", "rbg")
     res = rt.train()
     assert np.isfinite(res["history"][-1]["train_loss"])
+
+
+def test_grad_accum_matches_big_batch(prepared, tmp_path):
+    """grad_accum_steps=2 at batch 2 takes the same optimizer path as
+    batch 4 (mean gradient over the accumulation window): with SGD-like
+    deterministic data order the final params agree."""
+    import jax
+    import numpy as np
+
+    from applecider_tpu.train.trainer import Trainer
+
+    def run(bs, accum, wd):
+        rt = _runtime(prepared, tmp_path / f"cfg{bs}_{accum}", epochs=1)
+        rt.set_config("data_loader.batch_size", bs)
+        rt.set_config("data_loader.shuffle", False)
+        rt.set_config("data_loader.drop_last", True)
+        rt.set_config("train.grad_accum_steps", accum)
+        rt.prepare()
+        task = rt._task()
+        trainer = Trainer(task, rt.config, wd)
+        loader = rt._loader(rt.datasets["train"], shuffle=False)
+        res = trainer.fit(loader, epochs=1)
+        return res["state"].params
+
+    p_small = run(2, 2, tmp_path / "accum")
+    p_big = run(4, 1, tmp_path / "big")
+    a = np.asarray(p_small["trunk"]["in_proj"]["kernel"])
+    b = np.asarray(p_big["trunk"]["in_proj"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
