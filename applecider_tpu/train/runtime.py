@@ -286,6 +286,75 @@ class AppleCiderRuntime:
         ckptr.wait_until_finished()
         return out_path
 
+    def engine_serving(self, export_dir: str | Path | None = None,
+                       raw_path: str | Path | None = None,
+                       batch_size: int = 256, params=None) -> dict:
+        """Serve a raw-data directory from an ``export_serving`` artifact.
+
+        The deployment-side counterpart of ``engine()``: deserializes the
+        per-bucket StableHLO programs + orbax params and classifies every
+        alert with NO model code — only ``pack_alert_batch``'s host packing
+        runs in Python. Returns the same summary shape as ``serve()``.
+        """
+        from applecider_tpu.infer.serve import iter_alert_samples
+        from applecider_tpu.infer.stream import pack_alert_batch
+
+        sec = self.config.section("serve")
+        raw_path = raw_path or sec.get("data_location")
+        if not raw_path:
+            raise KeyError("[serve].data_location not set and no raw_path given")
+        export_dir = (Path(export_dir) if export_dir
+                      else sorted(self.workdir.glob("*-export-serving-*"))[-1])
+        meta = json.loads((export_dir / "serving_meta.json").read_text())
+        buckets = tuple(meta["length_buckets"])
+        max_spec = int(meta["max_spec"])
+        programs = {
+            P: jax.export.deserialize(
+                (export_dir / f"serving_P{P}.stablehlo").read_bytes())
+            for P in buckets
+        }
+        if params is None:
+            task = self._task()
+            if not self.datasets:
+                self.prepare()
+            init_params, _, _ = self._restore_latest_params(task)
+            import orbax.checkpoint as ocp
+
+            params = ocp.StandardCheckpointer().restore(
+                (export_dir / "params").absolute(), init_params)
+
+        import time as _time
+
+        infos, probs = [], []
+        batch: list = []
+        t0 = _time.perf_counter()
+
+        def flush():
+            if not batch:
+                return
+            raw = pack_alert_batch([s for _, s in batch],
+                                   length_buckets=buckets, max_spec=max_spec)
+            P = raw["photo_t"].shape[1]
+            out = np.asarray(programs[P].call(params, raw))
+            for j, (info, _) in enumerate(batch):
+                infos.append(info)
+                probs.append(out[j])
+            batch.clear()
+
+        for pair in iter_alert_samples(
+            raw_path, causal_spectrum=bool(sec.get("causal_spectrum", True))
+        ):
+            batch.append(pair)
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+        elapsed = _time.perf_counter() - t0
+        results = [dict(info, probs=np.asarray(p, np.float32))
+                   for info, p in zip(infos, probs)]
+        return {"n_alerts": len(results), "seconds": elapsed,
+                "alerts_per_sec": len(results) / elapsed if elapsed else 0.0,
+                "results": results}
+
     def serve(self, raw_path: str | Path | None = None,
               params=None) -> dict:
         """Classify every alert of a raw-data directory, per-alert causal.

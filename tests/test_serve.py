@@ -265,3 +265,49 @@ def test_corrupt_object_skipped_not_fatal(corpus, tmp_path):
     assert any("ZTFSYN0001" in str(x.message) for x in w)
     assert len(pairs) > 0
     assert all(i["object_id"] != "ZTFSYN0001" for i, _ in pairs)
+
+
+def test_engine_serving_matches_live_serve(corpus, tmp_path):
+    """engine_serving (deserialized artifact, zero model code) reproduces
+    the live pipeline's per-alert probabilities over a raw directory."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import jax
+
+    from __graft_entry__ import _fusion_task
+
+    from applecider_tpu.infer.stream import AlertStreamPipeline, pack_alert_batch
+    from applecider_tpu.train.runtime import AppleCiderRuntime
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    variables = task.init(
+        jax.random.PRNGKey(0),
+        (np.zeros((2, 8, 7), np.float32), np.zeros((2, 8), bool),
+         np.zeros((2, 24), np.float32), np.zeros((2, 63, 63, 3), np.float32),
+         np.zeros((2, len(GRID)), np.float32), np.zeros(2, np.int64)),
+    )
+    params = variables["params"]
+    tiny = {
+        "model": {"name": "Fusion",
+                  "BaselineCLS": {"d_model": 16, "n_heads": 2, "n_layers": 1,
+                                  "dropout": 0.0},
+                  "SpectraNet": {"channels": [4, 8], "depths": [1, 1],
+                                 "kernel_sizes_per_stage": [[3, 7], [3, 5]]},
+                  "AstroMiNN": {"backbone_depths": [1, 1],
+                                "backbone_dims": [8, 16]}},
+        "train": {"compute_dtype": "float32"},
+    }
+    rt = AppleCiderRuntime(overrides=tiny, workdir=tmp_path / "results")
+    exp = rt.export_serving(out_path=tmp_path / "exp", length_buckets=(32,),
+                            max_spec=128, params=params, wave_grid=GRID)
+
+    summary = rt.engine_serving(export_dir=exp, raw_path=corpus,
+                                batch_size=4, params=params)
+    pairs = list(iter_alert_samples(corpus))
+    assert summary["n_alerts"] == len(pairs)
+    raw = pack_alert_batch([s for _, s in pairs], max_photo=32, max_spec=128)
+    want = np.asarray(AlertStreamPipeline(task, wave_grid=GRID)(params, raw))
+    got = np.stack([r["probs"] for r in summary["results"]])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
