@@ -23,8 +23,14 @@ EOF
 echo "[2/3] kernel A/B (attention + conv)"
 python bench_kernels.py | tee "$OUT/kernels.jsonl"
 
-echo "[3/3] headline bench (+ trace)"
+echo "[3/5] headline bench (+ trace)"
 BENCH_PROFILE_DIR="$OUT/trace" python bench.py | tee "$OUT/bench.json"
+
+echo "[4/5] Pallas merge-scan A/B (oracle-first)"
+python scripts/tpu_merge_scan_ab.py || true
+
+echo "[5/5] int8 PTQ serving A/B (oracle-first)"
+python scripts/tpu_int8_ab.py || true
 
 echo "done -> $OUT"
 echo "next: update docs/KERNEL_NOTES.md with $OUT/kernels.jsonl; if the"
