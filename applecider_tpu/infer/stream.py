@@ -512,6 +512,26 @@ def resample_spectrum(wl, flux, valid, grid, assume_sorted: bool = False):
 
 
 # ------------------------------------------------------------- pipeline
+def _resolve_acmerge(mesh) -> str:
+    """Which merge group-start implementation the fused stream uses.
+
+    ``ACMERGE`` env wins when set ("xla", "pallas", "pallas_interpret").
+    Unset: the Pallas kernel (ops/merge_scan.py) is the default on a
+    single-device TPU backend — on-chip A/B measured it 2.2-3.6x faster
+    than the XLA scan, oracle-exact (tpu_results/merge_scan_ab_r3.jsonl).
+    Under a mesh the XLA scan stays default: ``pallas_call`` carries no
+    SPMD partitioning rule here, and replicating the merge would defeat
+    batch sharding.
+    """
+    acmerge = os.environ.get("ACMERGE", "")
+    if acmerge or mesh is not None:
+        return acmerge
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else ""
+    except Exception:  # backend probe must never kill the trace
+        return ""
+
+
 class AlertStreamPipeline:
     """Fused preprocess+inference graph over fixed-shape alert batches.
 
@@ -613,11 +633,17 @@ class AlertStreamPipeline:
                           percentile_headroom=percentile_headroom)
 
     def _forward_body(self, params, raw):
-        # ACMERGE=pallas: compute the merge's sequential group-start scan in
-        # one batched Pallas program (ops/merge_scan.py) instead of the XLA
-        # while loop under vmap. Opt-in until on-chip validation
-        # ("pallas_interpret" runs the kernel interpreter for CPU tests).
-        acmerge = os.environ.get("ACMERGE", "")
+        # Merge group-start scan dispatch. The Pallas kernel
+        # (ops/merge_scan.py) replaces the P-step XLA while-loop-under-vmap
+        # with one batched program; on-chip A/B (tpu_results/
+        # merge_scan_ab_r3.jsonl) measured 1.0 ms vs 2.2 ms (B=256, P=192)
+        # and 1.7 ms vs 4.5 ms (B=1024, P=257), oracle-exact — so it is the
+        # DEFAULT on a single-device TPU. ACMERGE=xla forces the scan path;
+        # ACMERGE=pallas forces the kernel anywhere (ACMERGE=pallas_interpret
+        # runs the kernel interpreter for CPU tests). Under a mesh the XLA
+        # scan remains the default: pallas_call has no SPMD partitioning
+        # rule here, and replicating the merge would defeat the sharding.
+        acmerge = _resolve_acmerge(self.mesh)
         if acmerge.startswith("pallas"):
             from applecider_tpu.ops.merge_scan import seg_ids_pallas
 

@@ -16,10 +16,15 @@ with a hardware ``fori_loop``:
   P for invalid slots) — the flags/associative-scan pair in the XLA path
   collapses into the loop-carried ``start`` state.
 
-Gated OFF by default (``ACMERGE=pallas`` opts in) until on-chip
-validation: this environment has produced two real XLA TPU miscompiles
-(docs/KERNEL_NOTES.md), so the kernel ships with an exact-equivalence
-test suite (interpret mode on CPU) and a validation-first A/B script
+On-chip validated (round 3, ``tpu_results/merge_scan_ab_r3.jsonl``):
+oracle-exact at (B=256, P=192), (1024, 192), (1024, 257) and 2.2-2.6x
+faster than the XLA scan path (1.0 ms vs 2.2 ms at B=256; 1.7 ms vs
+4.5 ms at B=1024/P=257) — so the fused stream defaults to this kernel on
+a single-device TPU (``ACMERGE=xla`` reverts; under a mesh the XLA scan
+stays default since ``pallas_call`` carries no SPMD partitioning rule).
+Because this environment has produced two real XLA TPU miscompiles
+(docs/KERNEL_NOTES.md), the kernel ships with an exact-equivalence test
+suite (interpret mode on CPU) and a validation-first A/B script
 (``scripts/tpu_merge_scan_ab.py``) that oracles outputs on device before
 timing anything. No reference counterpart (the reference's merge is a
 host numba loop, ``preprocess_multimodal.py:82-111``).

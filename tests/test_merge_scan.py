@@ -77,3 +77,20 @@ def test_pallas_out_of_range_band_matches_reference(rng):
     want = np.asarray(seg_ids_scan_reference(t, band, valid, 0.5))
     got = np.asarray(seg_ids_pallas(t, band, valid, dt_days=0.5, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_resolve_acmerge_defaults(monkeypatch):
+    """Pallas is the default only on single-device TPU; env always wins."""
+    import applecider_tpu.infer.stream as stream
+
+    monkeypatch.delenv("ACMERGE", raising=False)
+    monkeypatch.setattr(stream.jax, "default_backend", lambda: "tpu")
+    assert stream._resolve_acmerge(None) == "pallas"
+    assert stream._resolve_acmerge(object()) == ""  # mesh -> XLA scan
+    monkeypatch.setattr(stream.jax, "default_backend", lambda: "cpu")
+    assert stream._resolve_acmerge(None) == ""
+    monkeypatch.setenv("ACMERGE", "xla")
+    monkeypatch.setattr(stream.jax, "default_backend", lambda: "tpu")
+    assert stream._resolve_acmerge(None) == "xla"
+    monkeypatch.setenv("ACMERGE", "pallas")
+    assert stream._resolve_acmerge(object()) == "pallas"  # forced under mesh
