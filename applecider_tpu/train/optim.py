@@ -93,7 +93,10 @@ class EMA:
         self.shadow = None
 
     def init(self, params):
-        self.shadow = jax.tree.map(jnp.asarray, params)
+        # copy=True: the shadow must own its buffers — the train step
+        # donates params (jit donate_argnums), so aliasing them here would
+        # leave the shadow pointing at deleted arrays after step 1.
+        self.shadow = jax.tree.map(lambda p: jnp.array(p, copy=True), params)
 
     def update(self, params):
         if self.shadow is None:

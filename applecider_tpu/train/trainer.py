@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 from pathlib import Path
 from typing import Optional
 
@@ -115,7 +116,17 @@ class Trainer:
             # configs it's the standard TPU memory/FLOP trade.
             loss_fn = jax.checkpoint(loss_fn, static_argnums=(3,))
 
-        @jax.jit
+        # Donate params + opt_state: XLA aliases the update in place instead
+        # of holding old and new copies live across the step (~1 GB at the
+        # reference scale with Adam in f32). The loop always threads the
+        # RETURNED state, so the consumed input buffers are never reused.
+        # CPU ignores donation with a warning, so only donate off-CPU.
+        try:
+            donate = (0, 1) if jax.default_backend() != "cpu" else ()
+        except Exception:
+            donate = ()
+
+        @partial(jax.jit, donate_argnums=donate)
         def train_step(params, opt_state, batch, rng):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, rng, True
