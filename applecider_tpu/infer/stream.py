@@ -196,30 +196,42 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
 
     w = jnp.where(valid, 1.0 / (err + eps), 0.0)
     num_segments = P + 1
-    seg = partial(jax.ops.segment_sum, segment_ids=seg_ids, num_segments=num_segments)
-    wsum = seg(w)
-    cnt = seg(valid.astype(jnp.float32))
+    # ONE stacked segment_sum instead of five: XLA does not fuse sibling
+    # scatters, and scatter setup cost dominates at these sizes — a (P, 5)
+    # payload pays it once (identical numerics, columns are independent)
+    payload = jnp.stack(
+        [w, valid.astype(jnp.float32), w * t, w * flux, w * err], axis=1
+    )
+    segs = jax.ops.segment_sum(payload, seg_ids, num_segments=num_segments)
+    wsum, cnt = segs[:, 0], segs[:, 1]
     safe = jnp.maximum(wsum, eps)
-    t_m = seg(w * t) / safe
-    f_m = seg(w * flux) / safe
-    e_m = seg(w * err) / safe
+    t_m = segs[:, 2] / safe
+    f_m = segs[:, 3] / safe
+    e_m = segs[:, 4] / safe
     seg_valid = (cnt > 0) & (jnp.arange(num_segments) < P)  # drop overflow
     # the segment's band is the band of its start point
     seg_band = jnp.concatenate([band.astype(jnp.int32), jnp.zeros(1, jnp.int32)])
 
     # compact: sort segments by time (invalid -> +inf), keep first P
     key = jnp.where(seg_valid, t_m, jnp.inf)
+    # stack the five outputs as f32 columns so the compaction pays ONE
+    # scatter/gather instead of five (band values in [0, 3] and the 0/1
+    # valid flag are exact in f32 — cast back after)
+    cols = jnp.stack(
+        [t_m, f_m, e_m,
+         seg_band.astype(jnp.float32), seg_valid.astype(jnp.float32)],
+        axis=1,
+    )
     if compact_impl == "rank":
         # ranks are a permutation of [0, P]; scattering with unique target
         # slots fills every output row exactly once (rank == P drops)
         rank = _rank_compact(key)
-        def put(v):
-            return jnp.zeros((P,), v.dtype).at[rank].set(v, mode="drop")
-        return (put(t_m), put(f_m), put(e_m), put(seg_band), put(seg_valid))
-    order = jnp.argsort(key)[:P]
+        picked = jnp.zeros((P, 5), cols.dtype).at[rank].set(cols, mode="drop")
+    else:
+        picked = cols[jnp.argsort(key)[:P]]
     return (
-        t_m[order], f_m[order], e_m[order],
-        seg_band[order], seg_valid[order],
+        picked[:, 0], picked[:, 1], picked[:, 2],
+        picked[:, 3].astype(jnp.int32), picked[:, 4].astype(bool),
     )
 
 
