@@ -524,7 +524,7 @@ def resample_spectrum(wl, flux, valid, grid, assume_sorted: bool = False):
 
 
 # ------------------------------------------------------------- pipeline
-def _resolve_acmerge(mesh) -> str:
+def _resolve_acmerge(mesh, raw=None) -> str:
     """Which merge group-start implementation the fused stream uses.
 
     ``ACMERGE`` env wins when set ("xla", "pallas", "pallas_interpret").
@@ -533,12 +533,22 @@ def _resolve_acmerge(mesh) -> str:
     than the XLA scan, oracle-exact (tpu_results/merge_scan_ab_r3.jsonl).
     Under a mesh the XLA scan stays default: ``pallas_call`` carries no
     SPMD partitioning rule here, and replicating the merge would defeat
-    batch sharding.
+    batch sharding. ``raw`` (the forward's input tree, when available)
+    guards the eager-on-CPU case inside a TPU process — int8 calibration
+    runs the unjitted forward on CPU-placed arrays under
+    ``jax.default_device(cpu)``, where ``jax.default_backend()`` still
+    says "tpu" but a Pallas TPU kernel cannot execute.
     """
     acmerge = os.environ.get("ACMERGE", "")
     if acmerge or mesh is not None:
         return acmerge
     try:
+        for leaf in jax.tree.leaves(raw):
+            devices = getattr(leaf, "devices", None)
+            if callable(devices):  # concrete jax.Array (not a tracer/numpy)
+                if any(d.platform == "cpu" for d in leaf.devices()):
+                    return ""
+                break
         return "pallas" if jax.default_backend() == "tpu" else ""
     except Exception:  # backend probe must never kill the trace
         return ""
@@ -655,7 +665,7 @@ class AlertStreamPipeline:
         # runs the kernel interpreter for CPU tests). Under a mesh the XLA
         # scan remains the default: pallas_call has no SPMD partitioning
         # rule here, and replicating the merge would defeat the sharding.
-        acmerge = _resolve_acmerge(self.mesh)
+        acmerge = _resolve_acmerge(self.mesh, raw)
         if acmerge.startswith("pallas"):
             from applecider_tpu.ops.merge_scan import seg_ids_pallas
 

@@ -70,12 +70,26 @@ def _probe_backend(timeout_s: float = 240.0, retries: int = 3):
 
 
 # --------------------------------------------------------------- synthetic raw
-def make_stream_samples(n: int, seed: int = 0, spectrum_frac: float = 0.3) -> list[dict]:
-    """Ragged raw per-alert dicts matching ``pack_alert_batch``'s contract."""
+def make_stream_samples(n: int, seed: int = 0, spectrum_frac: float = 0.3,
+                        length_dist: str = "uniform") -> list[dict]:
+    """Ragged raw per-alert dicts matching ``pack_alert_batch``'s contract.
+
+    ``length_dist="ztf"`` draws light-curve lengths from a short-skewed
+    mix (60% 5-40 points, 25% 40-100, 12% 100-200, 3% 200-257) — live
+    alert streams are dominated by young transients with few prior
+    detections, where the per-bucket pipelines of ``LengthBinnedFeeder``
+    skip most of the padded transformer work. "uniform" (default) keeps
+    the conservative 20-180 draw every headline number uses.
+    """
     rng = np.random.default_rng(seed)
     samples = []
     for i in range(n):
-        P = int(rng.integers(20, 180))
+        if length_dist == "ztf":
+            lo, hi = [( 5, 40), (40, 100), (100, 200), (200, 257)][
+                int(rng.choice(4, p=[0.60, 0.25, 0.12, 0.03]))]
+            P = int(rng.integers(lo, hi))
+        else:
+            P = int(rng.integers(20, 180))
         t = np.sort(rng.uniform(0.0, 120.0, P)).astype(np.float32)
         flux = rng.lognormal(2.0, 1.0, P).astype(np.float32)
         err = (0.05 * flux + rng.uniform(0.1, 2.0, P)).astype(np.float32)
@@ -399,6 +413,19 @@ def run_bench(device) -> dict:
                                              spectrum_frac=0.1)
             ])
 
+    # ---- opt-in: binned steady state under a REALISTIC length mix (live
+    # streams skew heavily to short young-transient curves; the uniform
+    # 20-180 draw above is the conservative choice). Off by default so the
+    # driver's pass isn't slowed; measured in tpu_results/.
+    device_binned_ztflen = 0.0
+    if device_routed > 0 and not over_budget() and \
+            os.environ.get("BENCH_ZTF_LEN") == "1":
+        device_binned_ztflen = binned_rate(
+            [s for j in range(2 * n_sets)
+             for s in make_stream_samples(routed_bs, seed=80 + j,
+                                          spectrum_frac=0.1,
+                                          length_dist="ztf")])
+
     # ---- int8 PTQ serving A/B (opt-in mode, ops/quant.py): same placed
     # frac-0.3 batches through a quantized FusedSpectraStream vs the f32
     # router above. v5e MXU int8 peak is 2x bf16; one extra program compile.
@@ -614,6 +641,7 @@ def run_bench(device) -> dict:
         "device_routed_frac01_alerts_per_sec": round(device_routed_frac01, 1),
         "device_binned_frac01_alerts_per_sec": round(device_binned_frac01, 1),
         "device_binned_frac03_alerts_per_sec": round(device_binned_frac03, 1),
+        "device_binned_ztflen_alerts_per_sec": round(device_binned_ztflen, 1) or None,
         "device_int8_frac03_alerts_per_sec": round(int8_rate, 1),
         "int8_agreement": int8_agreement,
         "device_routed_batch_size": routed_bs,

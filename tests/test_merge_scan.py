@@ -94,3 +94,15 @@ def test_resolve_acmerge_defaults(monkeypatch):
     assert stream._resolve_acmerge(None) == "xla"
     monkeypatch.setenv("ACMERGE", "pallas")
     assert stream._resolve_acmerge(object()) == "pallas"  # forced under mesh
+    # eager-on-CPU guard: concrete CPU-placed inputs pick the XLA path even
+    # when the process default backend is TPU (the int8 calibration case)
+    monkeypatch.delenv("ACMERGE", raising=False)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    cpu_raw = {"photo_t": _jax.device_put(_jnp.zeros(4), _jax.devices("cpu")[0])}
+    assert stream._resolve_acmerge(None, cpu_raw) == ""
+    # tracers / numpy leaves fall through to the backend probe
+    import numpy as _np
+
+    assert stream._resolve_acmerge(None, {"x": _np.zeros(4)}) == "pallas"
