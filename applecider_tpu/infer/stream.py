@@ -154,7 +154,12 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
         if flags_impl == "auto":
             flags_impl = "scan" if on_tpu else "doubling"
         if compact_impl == "auto":
-            compact_impl = "rank" if on_tpu else "argsort"
+            # round-3 late A/B after the stacked-scatter change
+            # (tpu_results/compact_ab_r3.jsonl): argsort+single-gather now
+            # ties-or-beats rank+scatter at every benched shape on TPU
+            # (2.0 vs 2.2 ms at B=256/P=192, 5.7 vs 6.4 at B=1024/P=192),
+            # so argsort is the auto choice everywhere
+            compact_impl = "argsort"
     if not assume_sorted:
         # order by time with invalid at the tail (the reference's host merge
         # sorts by time first; this also discharges the pointer-doubling
