@@ -454,6 +454,10 @@ def _interp_fill(x, y, valid, grid, gnp):
     is_first = valid & ((b != prv_b) | ~prv_v)
 
     slots = b + 1  # [0, G]; scatter into G+1 slots, drop at G+1
+    # NOTE: these three sibling scatters were A/B'd STACKED as a (G+1, 3)
+    # row scatter (the merge-tail win) and measured SLOWER here (8.5 ->
+    # 11.5 ms at 129 rows, two passes) — the 3-wide rows pad the 128-lane
+    # tile on a 3482-long axis. Keep them scalar.
     def scatter(sel):
         tgt = jnp.where(sel, slots, G + 1)
         sx = jnp.zeros((G + 1,), x.dtype).at[tgt].set(x, mode="drop")
