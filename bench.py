@@ -492,7 +492,11 @@ def run_bench(device) -> dict:
             tb = 256
             batch = tuple(jax.device_put(np.asarray(x), device)
                           for x in _fusion_batch(tb))
-            rng = jax.random.PRNGKey(1)
+            # mirror the Trainer's train.rng_impl="auto" (rbg on TPU):
+            # threefry dropout-bit generation is a measured +14.6 ms on the
+            # b64 step; benching it would report a config the Trainer
+            # doesn't run (trainer.py train.rng_impl)
+            rng = jax.random.key(1, impl="rbg" if on_tpu else "threefry2x32")
             tr_flops = None
             try:
                 ca = train_step.lower(params, opt_state, batch, rng
