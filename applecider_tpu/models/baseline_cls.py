@@ -25,7 +25,9 @@ import optax
 from flax import linen as nn
 
 from applecider_tpu.models.base import Task, maybe_softmax
-from applecider_tpu.models.layers import Linear, LayerNorm, TransformerEncoder
+from applecider_tpu.models.layers import (
+    Linear, LayerNorm, TransformerEncoder, resolve_remat,
+)
 from applecider_tpu.models.time2vec import Time2Vec
 from applecider_tpu.ops.losses import focal_loss
 from applecider_tpu.registry import register_model
@@ -47,6 +49,7 @@ class BaselineCLSEncoder(nn.Module):
     dropout: float
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
+    remat: bool = False  # rematerialize encoder layers in the backward
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic: bool = True, te_dropout: bool = False):
@@ -68,6 +71,7 @@ class BaselineCLSEncoder(nn.Module):
             self.dropout,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
             name="encoder",
         )(h, pad, deterministic=deterministic)
         return z
@@ -82,12 +86,14 @@ class BaselineCLSModule(nn.Module):
     classification: bool = True
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "xla"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic: bool = True):
         z = BaselineCLSEncoder(
             self.d_model, self.n_heads, self.n_layers, self.dropout,
-            dtype=self.dtype, attn_impl=self.attn_impl, name="trunk",
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+            name="trunk",
         )(x, pad_mask, deterministic=deterministic)
         out = LayerNorm(dtype=self.dtype, name="norm")(z[:, 0])
         if self.classification:
@@ -114,6 +120,7 @@ class BaselineCLSTask(Task):
             classification=(mc.get("mode", "photo") == "photo"),
             dtype=self.compute_dtype(),
             attn_impl=str(mc.get("attention_impl", "xla")),
+            remat=resolve_remat(mc.get("remat", "auto")),
         )
 
     def init(self, rng, batch):

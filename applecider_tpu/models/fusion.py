@@ -34,7 +34,7 @@ from flax import linen as nn
 from applecider_tpu.models.astrominn import AstroMiNNModule
 from applecider_tpu.models.base import Task, maybe_softmax
 from applecider_tpu.models.baseline_cls import BaselineCLSModule
-from applecider_tpu.models.layers import Linear
+from applecider_tpu.models.layers import Linear, resolve_remat
 from applecider_tpu.models.spectranet import SpectraNetModule
 from applecider_tpu.ops.losses import cross_entropy, focal_loss
 from applecider_tpu.registry import register_model
@@ -113,6 +113,7 @@ class AppleCiderTask(Task):
             n_layers=int(pc["n_layers"]), dropout=float(pc["dropout"]),
             classification=False, dtype=dtype,
             attn_impl=str(pc.get("attention_impl", "xla")),
+            remat=resolve_remat(pc.get("remat", "auto")),
             name="photometry_encoder",
         )
         # spectra encoder: the active-code SpectraNet embedding (default) or

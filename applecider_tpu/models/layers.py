@@ -152,7 +152,7 @@ class TransformerEncoderLayer(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, key_padding_mask=None, *, deterministic: bool = True):
+    def __call__(self, x, key_padding_mask=None, deterministic: bool = True):
         D = x.shape[-1]
         attn_out = MultiHeadSelfAttention(
             self.num_heads, self.dropout, dtype=self.dtype, impl=self.attn_impl,
@@ -169,7 +169,19 @@ class TransformerEncoderLayer(nn.Module):
 
 
 class TransformerEncoder(nn.Module):
-    """Stack of post-LN encoder layers (torch nn.TransformerEncoder, no final norm)."""
+    """Stack of post-LN encoder layers (torch nn.TransformerEncoder, no final norm).
+
+    ``remat=True`` rematerializes each layer in the backward pass
+    (``nn.remat``): the (B, H, L, L) attention scores / probs / dropout
+    masks are recomputed instead of being saved from the forward — trades
+    a second forward's FLOPs for the HBM footprint of ~0.7 GB per layer
+    at the production (B=256, 8h, L=258) shape. Numerically identical
+    (the lifted remat replays the same dropout RNG). No effect on
+    grad-free inference. Measured SLOWER on a single v5e chip at
+    b256/b512 where everything fits in HBM (KERNEL_NOTES: remat A/B) —
+    it is a memory knob for batch/sequence shapes that would otherwise
+    OOM, not a speed knob.
+    """
 
     num_layers: int
     num_heads: int
@@ -177,19 +189,44 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "xla"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, *, deterministic: bool = True):
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            # deterministic (arg 3; self is 0) is a python bool -> static
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
         for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.num_heads,
                 self.dim_feedforward,
                 self.dropout,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 name=f"layer_{i}",
-            )(x, key_padding_mask, deterministic=deterministic)
+            )(x, key_padding_mask, deterministic)
         return x
+
+
+def resolve_remat(value) -> bool:
+    """Resolve a ``model.*.remat`` config value to a bool.
+
+    ``"auto"`` (the default) resolves to False on every backend: the
+    on-chip A/B (tpu_results/remat_ab_r3.jsonl; KERNEL_NOTES: remat A/B)
+    measured the rematerialized b256 fusion train step 31% slower than
+    the plain path (179.6 vs 136.6 ms; b512 364.6 vs 289.1 ms) — the
+    saved activations fit in v5e HBM at production shapes, so remat only
+    pays recompute FLOPs. Set ``remat = true`` explicitly for shapes
+    that OOM (e.g. b>=2048 or long sequences), where trading ~0.7
+    GB/layer for a second forward is the only way to fit.
+    """
+    if isinstance(value, bool):
+        return value
+    v = str(value).strip().lower()
+    if v in ("true", "1", "yes", "layer"):
+        return True
+    return False
 
 
 def gelu_exact(x):

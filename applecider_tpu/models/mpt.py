@@ -38,6 +38,7 @@ from flax import linen as nn
 
 from applecider_tpu.models.base import Task
 from applecider_tpu.models.baseline_cls import BaselineCLSEncoder, BaselineCLSTask
+from applecider_tpu.models.layers import resolve_remat
 from applecider_tpu.models.layers import Linear
 from applecider_tpu.registry import register_model
 
@@ -96,12 +97,13 @@ class MPTModule(nn.Module):
     n_layers: int = 4
     dropout: float = 0.40
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic: bool = True):
         z = BaselineCLSEncoder(
             self.d_model, self.n_heads, self.n_layers, self.dropout,
-            dtype=self.dtype, name="trunk",
+            dtype=self.dtype, remat=self.remat, name="trunk",
         )(x, pad_mask, deterministic=deterministic, te_dropout=True)
         h = z[:, 1:].astype(jnp.float32)  # event tokens only
         f_hat = Linear(1, name="head_flux")(h)[..., 0]
@@ -135,6 +137,7 @@ class MPTTask(Task):
             n_layers=int(mc["n_layers"]),
             dropout=float(mc["dropout"]),
             dtype=self.compute_dtype(),
+            remat=resolve_remat(mc.get("remat", "auto")),
         )
 
     def init(self, rng, batch):

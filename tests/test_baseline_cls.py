@@ -106,3 +106,29 @@ def test_to_tensor_normalizes():
     np.testing.assert_allclose(x[..., :4], (1.0 - 0.5) / (2.0 + 1e-8), rtol=1e-5)
     np.testing.assert_allclose(x[..., 4:], 1.0)
     assert labels.tolist() == [1, 2]
+
+
+def test_remat_matches_plain_loss_and_grads(rng):
+    """model.*.remat rematerializes encoder layers in the backward; the
+    lifted remat replays the same dropout RNG, so loss AND grads must be
+    bit-identical to the plain path (layers.py TransformerEncoder.remat)."""
+    x, pad = _random_batch(rng, B=4, L=12)
+    labels = rng.integers(0, 5, size=4)
+    batch = (jnp.asarray(x), jnp.asarray(pad), jnp.asarray(labels))
+    outs = {}
+    for remat in (False, True):
+        cfg = load_defaults()
+        cfg.set("model.BaselineCLS.d_model", 32)
+        cfg.set("model.BaselineCLS.n_heads", 4)
+        cfg.set("model.BaselineCLS.n_layers", 2)
+        cfg.set("model.BaselineCLS.dropout", 0.4)
+        cfg.set("model.BaselineCLS.remat", remat)
+        cfg.set("train.compute_dtype", "float32")
+        task = BaselineCLSTask(cfg)
+        params = task.init(jax.random.PRNGKey(0), batch)["params"]
+        (loss, _), grads = jax.jit(
+            jax.value_and_grad(task.loss_fn, has_aux=True), static_argnums=3
+        )(params, batch, jax.random.PRNGKey(7), True)
+        outs[remat] = (float(loss), jax.tree_util.tree_map(np.asarray, grads))
+    assert outs[False][0] == outs[True][0]
+    jax.tree_util.tree_map(np.testing.assert_array_equal, outs[False][1], outs[True][1])
