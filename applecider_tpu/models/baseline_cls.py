@@ -49,7 +49,7 @@ class BaselineCLSEncoder(nn.Module):
     dropout: float
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
-    remat: bool = False  # rematerialize encoder layers in the backward
+    remat: object = False  # False | True | "attn" — see layers.TransformerEncoder
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic: bool = True, te_dropout: bool = False):
@@ -86,7 +86,7 @@ class BaselineCLSModule(nn.Module):
     classification: bool = True
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: object = False  # False | True | "attn"
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic: bool = True):

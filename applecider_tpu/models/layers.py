@@ -19,6 +19,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 
 def torch_linear_init(key, shape, dtype=jnp.float32):
@@ -130,8 +131,15 @@ class MultiHeadSelfAttention(nn.Module):
             if key_padding_mask is not None:
                 neg = jnp.asarray(-1e9, dtype=score_dtype)  # exactly representable in bf16
                 scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
-            attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            # checkpoint_name tags let the remat="attn" policy (layers.py
+            # TransformerEncoder) recompute ONLY these (B, H, L, L) tensors
+            # in the backward; outside a remat they are identity no-ops
+            scores = checkpoint_name(scores, "attn_scores")
+            attn = checkpoint_name(
+                jax.nn.softmax(scores, axis=-1).astype(q.dtype), "attn_probs")
+            attn = checkpoint_name(
+                nn.Dropout(self.dropout)(attn, deterministic=deterministic),
+                "attn_drop")
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
         return Linear(D, dtype=self.dtype, name="out_proj")(out)
@@ -189,12 +197,25 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "xla"
-    remat: bool = False
+    remat: object = False  # False | True (full layer) | "attn" (selective)
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, *, deterministic: bool = True):
         layer_cls = TransformerEncoderLayer
-        if self.remat:
+        if self.remat == "attn":
+            # selective remat: save every intermediate EXCEPT the
+            # (B, H, L, L) score/prob/dropout tensors (tagged with
+            # checkpoint_name in MultiHeadSelfAttention) — the backward
+            # recomputes them from the saved qkv with one extra einsum +
+            # softmax + RNG replay instead of round-tripping ~3x273 MB
+            # per layer (b256 bf16) through HBM. Full-layer remat also
+            # recomputes the MLP matmuls, which the on-chip A/B measured
+            # as a 31% loss; this mode targets only the memory-bound part.
+            policy = jax.checkpoint_policies.save_anything_except_these_names(
+                "attn_scores", "attn_probs", "attn_drop")
+            layer_cls = nn.remat(
+                TransformerEncoderLayer, static_argnums=(3,), policy=policy)
+        elif self.remat:
             # deterministic (arg 3; self is 0) is a python bool -> static
             layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(3,))
         for i in range(self.num_layers):
@@ -209,8 +230,8 @@ class TransformerEncoder(nn.Module):
         return x
 
 
-def resolve_remat(value) -> bool:
-    """Resolve a ``model.*.remat`` config value to a bool.
+def resolve_remat(value):
+    """Resolve a ``model.*.remat`` config value to False | True | "attn".
 
     ``"auto"`` (the default) resolves to False on every backend: the
     on-chip A/B (tpu_results/remat_ab_r3.jsonl; KERNEL_NOTES: remat A/B)
@@ -226,6 +247,8 @@ def resolve_remat(value) -> bool:
     v = str(value).strip().lower()
     if v in ("true", "1", "yes", "layer"):
         return True
+    if v == "attn":
+        return "attn"
     return False
 
 

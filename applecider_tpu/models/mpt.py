@@ -97,7 +97,7 @@ class MPTModule(nn.Module):
     n_layers: int = 4
     dropout: float = 0.40
     dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: object = False  # False | True | "attn"
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic: bool = True):

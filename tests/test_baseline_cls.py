@@ -110,13 +110,14 @@ def test_to_tensor_normalizes():
 
 def test_remat_matches_plain_loss_and_grads(rng):
     """model.*.remat rematerializes encoder layers in the backward; the
-    lifted remat replays the same dropout RNG, so loss AND grads must be
-    bit-identical to the plain path (layers.py TransformerEncoder.remat)."""
+    lifted remat replays the same dropout RNG, so the loss must be
+    bit-identical and grads equal to reassociation-level noise (~1e-8 f32:
+    XLA fuses the recompute differently than the saved-forward graph)."""
     x, pad = _random_batch(rng, B=4, L=12)
     labels = rng.integers(0, 5, size=4)
     batch = (jnp.asarray(x), jnp.asarray(pad), jnp.asarray(labels))
     outs = {}
-    for remat in (False, True):
+    for remat in (False, True, "attn"):
         cfg = load_defaults()
         cfg.set("model.BaselineCLS.d_model", 32)
         cfg.set("model.BaselineCLS.n_heads", 4)
@@ -130,5 +131,8 @@ def test_remat_matches_plain_loss_and_grads(rng):
             jax.value_and_grad(task.loss_fn, has_aux=True), static_argnums=3
         )(params, batch, jax.random.PRNGKey(7), True)
         outs[remat] = (float(loss), jax.tree_util.tree_map(np.asarray, grads))
-    assert outs[False][0] == outs[True][0]
-    jax.tree_util.tree_map(np.testing.assert_array_equal, outs[False][1], outs[True][1])
+    for variant in (True, "attn"):
+        assert outs[False][0] == outs[variant][0]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+            outs[False][1], outs[variant][1])
