@@ -71,9 +71,14 @@ def bench_attention(batch=256, heads=8, seq=258, head_dim=16, dtype="bfloat16"):
 
     @jax.jit
     def xla_attn(q, k, v, mask):
+        # mirror models/layers.py MultiHeadSelfAttention's production path:
+        # scores MATERIALIZE in the compute dtype (bf16 in serving), softmax
+        # runs on that dtype — an f32-scores baseline overstates XLA's cost
+        # 2x in bf16 mode (the earlier "2.08x" kernel win was vs f32 scores)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(q.shape[-1])
-        scores = jnp.where(mask[:, None, None, :], -1e9, scores)
+        scores = (scores / math.sqrt(q.shape[-1])).astype(q.dtype)
+        scores = jnp.where(mask[:, None, None, :],
+                           jnp.asarray(-1e9, scores.dtype), scores)
         attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
