@@ -18,6 +18,8 @@ NHWC layout throughout (TPU native; timm permutes NCHW<->NHWC per block).
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -26,6 +28,59 @@ import numpy as np
 from flax import linen as nn
 
 from applecider_tpu.models.layers import Linear, gelu_exact, torch_bias_init
+
+
+# --------------------------------------------------------------- depthwise
+# At 63x63 input the ConvNeXt stages run at 15/7/3/1 spatial, so the 7x7
+# depthwise conv is a *tiny-spatial* op. Two measured reformulations
+# (scripts/tpu_dw_matmul_ab.py, v5e, B=1024, bf16):
+#
+#   center  at 1x1 spatial with padding (k-1)/2, only the center tap ever
+#           touches real data -> y = x * k[c, center] (exact, pure
+#           elementwise; fuses into the surrounding block for free).
+#   matmul  y[b,o,c] = sum_p x_pad[b,p,c] * A[c,o,p] with A built from the
+#           kernel taps and a constant one-hot gather tensor -> a
+#           C-batched (B,P)x(P,O) MXU matmul. (H+2p)^2/k^2 FLOP blowup on
+#           the banded zeros, but standalone it beats the grouped-conv
+#           path at every stage shape (1.46 vs 2.54 ms at 15x15x96).
+#
+# ACDWCONV=conv|center|matmul|auto (default auto) picks the path; auto is
+# decided per shape from the on-chip A/Bs recorded in docs/KERNEL_NOTES.md.
+
+
+@functools.lru_cache(maxsize=None)
+def _dw_gather_onehot(h: int, w: int, k: int, pad: int) -> np.ndarray:
+    """G[t, o, p]: tap t of output pixel o reads padded-input pixel p."""
+    hp, wp = h + 2 * pad, w + 2 * pad
+    G = np.zeros((k * k, h * w, hp * wp), np.float32)
+    for dh in range(k):
+        for dw in range(k):
+            t = dh * k + dw
+            for oh in range(h):
+                for ow in range(w):
+                    G[t, oh * w + ow, (oh + dh) * wp + (ow + dw)] = 1.0
+    return G
+
+
+def _dw_impl(h: int, w: int, k: int, pad: int) -> str:
+    """Pick the depthwise implementation for a (h, w) spatial shape."""
+    if 2 * pad != k - 1:  # paths below assume "same" output size
+        return "conv"
+    mode = os.environ.get("ACDWCONV", "auto")
+    if mode in ("conv", "matmul"):
+        return mode
+    if mode == "center":
+        return "center" if (h == 1 and w == 1) else "conv"
+    # auto: the 1x1 center-tap identity is exact on every backend and can
+    # only remove work. The matmul reformulation won STANDALONE at every
+    # stage shape (1.46 vs 2.54 ms at 15x15x96) but LOSES IN-MODEL on the
+    # jitted img_meta encoder (18.44 vs 15.90 ms at B=1024, v5e) — the
+    # standalone gap was launch overhead, and inside the fused program
+    # XLA's grouped conv overlaps while the 9x banded-FLOP blowup is real
+    # (scripts/tpu_dw_inmodel_ab.py). It stays opt-in for future shapes.
+    if h == 1 and w == 1:
+        return "center"
+    return "conv"
 
 
 class LayerNorm6(nn.Module):
@@ -81,6 +136,25 @@ class Conv2dTorch(nn.Module):
         if q is not None:
             return q
         xc = x.astype(self.dtype)
+        if (self.groups == cin and self.features == cin and self.stride == 1
+                and xc.ndim == 4):
+            impl = _dw_impl(xc.shape[1], xc.shape[2], k, self.padding)
+            if impl == "center":
+                # 1x1 spatial, "same" padding: every non-center tap reads a
+                # zero pad pixel; the conv reduces to an exact elementwise
+                # multiply by the center tap (rel_err 0.0 on chip).
+                y = xc * kernel[self.padding, self.padding, 0].astype(xc.dtype)
+                return (y + bias).astype(self.dtype or y.dtype)
+            if impl == "matmul":
+                b_, h, w, _ = xc.shape
+                pad = self.padding
+                G = jnp.asarray(_dw_gather_onehot(h, w, k, pad))
+                xp = jnp.pad(xc, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+                xp = xp.reshape(b_, (h + 2 * pad) * (w + 2 * pad), cin)
+                ktaps = kernel.reshape(k * k, cin).astype(jnp.float32)
+                A = jnp.einsum("tc,top->cop", ktaps, G).astype(xc.dtype)
+                y = jnp.einsum("bpc,cop->boc", xp, A).reshape(b_, h, w, cin)
+                return (y + bias).astype(self.dtype or y.dtype)
         y = jax.lax.conv_general_dilated(
             xc,
             kernel.astype(self.dtype),

@@ -45,3 +45,41 @@ def test_tiny_output_dim():
     params = module.init(jax.random.PRNGKey(0), x)["params"]
     out = module.apply({"params": params}, x)
     assert out.shape == (1, 768)
+
+
+def _dw_apply(h, c, impl, monkeypatch):
+    """Run a depthwise Conv2dTorch under a forced ACDWCONV impl."""
+    from applecider_tpu.models.convnext import Conv2dTorch
+
+    monkeypatch.setenv("ACDWCONV", impl)
+    module = Conv2dTorch(c, 7, padding=3, groups=c, dtype=jnp.float32)
+    gen = np.random.default_rng(h * 100 + c)
+    x = jnp.asarray(gen.normal(size=(2, h, h, c)).astype(np.float32))
+    params = module.init(jax.random.PRNGKey(3), x)["params"]
+
+    def loss(p, xx):
+        return jnp.sum(jnp.square(module.apply({"params": p}, xx)))
+
+    y = module.apply({"params": params}, x)
+    g = jax.grad(loss)(params, x)
+    return np.asarray(y), jax.tree_util.tree_map(np.asarray, g)
+
+
+def test_depthwise_matmul_matches_conv(monkeypatch):
+    """Banded-matmul depthwise == grouped conv (values AND grads, f32)."""
+    for h, c in ((15, 8), (7, 12), (3, 16)):
+        y0, g0 = _dw_apply(h, c, "conv", monkeypatch)
+        y1, g1 = _dw_apply(h, c, "matmul", monkeypatch)
+        np.testing.assert_allclose(y1, y0, atol=2e-5, rtol=2e-5)
+        for k in g0:
+            np.testing.assert_allclose(g1[k], g0[k], atol=2e-4, rtol=2e-4)
+
+
+def test_depthwise_center_tap_exact(monkeypatch):
+    """At 1x1 spatial the center-tap identity is exact (not approximate)."""
+    y0, g0 = _dw_apply(1, 24, "conv", monkeypatch)
+    y1, g1 = _dw_apply(1, 24, "center", monkeypatch)
+    np.testing.assert_array_equal(y1, y0)
+    # non-center kernel taps only ever multiply zero padding: grad == 0 there
+    np.testing.assert_allclose(g1["kernel"], g0["kernel"], atol=1e-6)
+    np.testing.assert_allclose(g1["bias"], g0["bias"], atol=0)
