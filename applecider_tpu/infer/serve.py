@@ -237,7 +237,7 @@ def serve_alert_stream(
     params,
     samples: Iterator[tuple[dict, dict]],
     batch_size: int = 1024,
-    length_buckets: tuple[int, ...] = (64, 128, 192, 257),
+    length_buckets: tuple[int, ...] = (63, 127, 191, 255, 257),
     binned: bool = True,
     stats_mean=None,
     stats_std=None,

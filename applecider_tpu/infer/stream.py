@@ -1192,7 +1192,7 @@ class LengthBinnedFeeder:
     """
 
     def __init__(self, router, params, flush_bs: int = 1024,
-                 length_buckets: tuple = (64, 128, 192, 257),
+                 length_buckets: tuple = (63, 127, 191, 255, 257),
                  image_dtype=np.float32, max_photo: int = 257):
         self.router = router
         self.params = params

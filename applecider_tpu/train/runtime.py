@@ -246,7 +246,7 @@ class AppleCiderRuntime:
             params, _, _ = self._restore_latest_params(task)
         if length_buckets is None:  # same buckets the serve() feeder packs to
             length_buckets = tuple(self.config.get_path(
-                "serve.length_buckets", default=(64, 128, 192, 257)))
+                "serve.length_buckets", default=(63, 127, 191, 255, 257)))
         mean, std = self._serve_stats()  # bake the TRAINING normalization in
         pipe = AlertStreamPipeline(task, stats_mean=mean, stats_std=std,
                                    wave_grid=wave_grid)
@@ -405,7 +405,7 @@ class AppleCiderRuntime:
             ),
             batch_size=int(sec.get("batch_size", 1024)),
             binned=bool(sec.get("binned", True)),
-            length_buckets=tuple(sec.get("length_buckets", (64, 128, 192, 257))),
+            length_buckets=tuple(sec.get("length_buckets", (63, 127, 191, 255, 257))),
             stats_mean=mean,
             stats_std=std,
             int8=bool(sec.get("int8", False)),

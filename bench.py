@@ -33,7 +33,7 @@ import numpy as np
 BASELINE_ALERTS_PER_SEC = 10_000.0
 # photometry-length buckets: jit caches one pipeline per bucket; results
 # are identical to 257-padding (masked), see test_stream.py
-BUCKETS = (64, 128, 192, 257)
+BUCKETS = (63, 127, 191, 255, 257)
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 # bf16 peak TFLOP/s per chip, by TPU generation (public spec sheets)
