@@ -36,6 +36,8 @@ import numpy as np
 import optax
 from flax import linen as nn
 
+from applecider_tpu.ops.dropout import FastDropout
+
 from applecider_tpu.models.base import Task, maybe_softmax
 from applecider_tpu.models.convnext import ConvNeXt
 from applecider_tpu.models.layers import Linear, LayerNorm, gelu_exact
@@ -70,11 +72,11 @@ class ResidualTowerBlock(nn.Module):
         h = gelu_exact(h)
 
         g = LayerNorm(dtype=self.dtype, name="gate_norm")(h)
-        g = nn.Dropout(self.dropout)(g, deterministic=deterministic)
+        g = FastDropout(self.dropout)(g, deterministic=deterministic)
         g = nn.sigmoid(Linear(self.output_dim, dtype=self.dtype, name="gate_fc")(g))
 
         m = LayerNorm(dtype=self.dtype, name="main_norm")(h)
-        m = nn.Dropout(self.dropout)(m, deterministic=deterministic)
+        m = FastDropout(self.dropout)(m, deterministic=deterministic)
         m = Linear(self.output_dim, dtype=self.dtype, name="main_fc")(m)
 
         if x.shape[-1] != self.output_dim:
@@ -99,7 +101,7 @@ class SplitHeadImageTower(nn.Module):
         m = gelu_exact(feats)
         m = LayerNorm(dtype=self.dtype, name="main_norm")(m)
         m = nn.relu(Linear(f // 2, dtype=self.dtype, name="main_fc1")(m))
-        m = nn.Dropout(0.4)(m, deterministic=deterministic)
+        m = FastDropout(0.4)(m, deterministic=deterministic)
         m = Linear(f, dtype=self.dtype, name="main_fc2")(m)
         m = Linear(self.outdims, dtype=self.dtype, name="main_fc3")(m)
         a = LayerNorm(dtype=self.dtype, name="aux_norm")(feats)
@@ -149,7 +151,7 @@ class AstroMiNNModule(nn.Module):
 
         # router: Linear -> tanh -> dropout -> Linear -> sigmoid
         r = jnp.tanh(Linear(fusion_dims // 2, dtype=self.dtype, name="router_fc1")(all_feats))
-        r = nn.Dropout(self.router_dropout)(r, deterministic=deterministic)
+        r = FastDropout(self.router_dropout)(r, deterministic=deterministic)
         router_weights = nn.sigmoid(
             Linear(self.num_experts, dtype=self.dtype, name="router_fc2")(r)
         ).astype(jnp.float32)

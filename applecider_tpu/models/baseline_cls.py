@@ -24,6 +24,8 @@ import numpy as np
 import optax
 from flax import linen as nn
 
+from applecider_tpu.ops.dropout import FastDropout
+
 from applecider_tpu.models.base import Task, maybe_softmax
 from applecider_tpu.models.layers import (
     Linear, LayerNorm, TransformerEncoder, resolve_remat,
@@ -58,7 +60,7 @@ class BaselineCLSEncoder(nn.Module):
         t = x[..., 0]
         te = Time2Vec(self.d_model, dtype=self.dtype, name="time2vec")(t)
         if te_dropout:
-            te = nn.Dropout(self.dropout)(te, deterministic=deterministic)
+            te = FastDropout(self.dropout)(te, deterministic=deterministic)
         h = h + te
         cls_tok = self.param("cls_tok", nn.initializers.zeros, (1, 1, self.d_model))
         tok = jnp.broadcast_to(cls_tok.astype(h.dtype), (B, 1, self.d_model))

@@ -19,6 +19,8 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from applecider_tpu.ops.dropout import FastDropout
 from jax.ad_checkpoint import checkpoint_name
 
 
@@ -138,7 +140,7 @@ class MultiHeadSelfAttention(nn.Module):
             attn = checkpoint_name(
                 jax.nn.softmax(scores, axis=-1).astype(q.dtype), "attn_probs")
             attn = checkpoint_name(
-                nn.Dropout(self.dropout)(attn, deterministic=deterministic),
+                FastDropout(self.dropout)(attn, deterministic=deterministic),
                 "attn_drop")
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
@@ -166,13 +168,13 @@ class TransformerEncoderLayer(nn.Module):
             self.num_heads, self.dropout, dtype=self.dtype, impl=self.attn_impl,
             name="self_attn",
         )(x, key_padding_mask, deterministic=deterministic)
-        attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
+        attn_out = FastDropout(self.dropout)(attn_out, deterministic=deterministic)
         x = LayerNorm(dtype=self.dtype, name="norm1")(x + attn_out)
         h = Linear(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
         h = self.activation(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
         h = Linear(D, dtype=self.dtype, name="linear2")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
         return LayerNorm(dtype=self.dtype, name="norm2")(x + h)
 
 

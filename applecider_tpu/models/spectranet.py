@@ -31,6 +31,8 @@ import numpy as np
 import optax
 from flax import linen as nn
 
+from applecider_tpu.ops.dropout import FastDropout
+
 from applecider_tpu.models.base import Task, maybe_softmax
 from applecider_tpu.models.layers import Linear, LayerNorm, gelu_exact, torch_bias_init
 from applecider_tpu.ops.conv1d import avg_pool1d, conv1d, max_pool1d, min_pool1d
@@ -168,7 +170,7 @@ class SpectraNetModule(nn.Module):
         h = gelu_exact(h)
         if self.embedding:
             return h
-        h = nn.Dropout(self.head_dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.head_dropout)(h, deterministic=deterministic)
         out_dim = 1 if self.redshift else self.num_classes
         out = Linear(out_dim, name="head_fc2")(h)
         if self.redshift:
@@ -337,10 +339,10 @@ class SpectraNetTriPoolModule(nn.Module):
         z = jnp.transpose(x, (0, 2, 1)).reshape(x.shape[0], -1).astype(jnp.float32)
         h = Linear(2048, name="head_fc1")(z)
         h = LayerNorm(name="head_norm1")(h)
-        h = nn.Dropout(0.5)(gelu_exact(h), deterministic=deterministic)
+        h = FastDropout(0.5)(gelu_exact(h), deterministic=deterministic)
         h = Linear(256, name="head_fc2")(h)
         h = LayerNorm(name="head_norm2")(h)
-        h = nn.Dropout(0.3)(gelu_exact(h), deterministic=deterministic)
+        h = FastDropout(0.3)(gelu_exact(h), deterministic=deterministic)
         if self.classification:
             return Linear(self.num_classes, name="fc")(h)
         return h

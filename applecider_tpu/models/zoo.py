@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from applecider_tpu.ops.dropout import FastDropout
+
 from applecider_tpu.models.convnext import ConvNeXt, Conv2dTorch
 from applecider_tpu.models.layers import (
     LayerNorm,
@@ -61,11 +63,11 @@ class BTSModel(nn.Module):
         for ch in (self.conv1_channels, self.conv1_channels):
             x = nn.relu(Conv2dTorch(ch, self.conv_kernel, padding=pad, dtype=self.dtype)(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.Dropout(self.dropout1)(x, deterministic=deterministic)
+        x = FastDropout(self.dropout1)(x, deterministic=deterministic)
         for ch in (self.conv2_channels, self.conv2_channels):
             x = nn.relu(Conv2dTorch(ch, self.conv_kernel, padding=pad, dtype=self.dtype)(x))
         x = nn.max_pool(x, (4, 4), strides=(4, 4))
-        x = nn.Dropout(self.dropout2)(x, deterministic=deterministic)
+        x = FastDropout(self.dropout2)(x, deterministic=deterministic)
         x = x.reshape(x.shape[0], -1)
         if self.classification:
             x = Linear(self.num_classes, name="fc")(x)
@@ -107,7 +109,7 @@ class GalSpecNet(nn.Module):
             if i < n - 1:
                 x = max_pool1d(x, self.mp_kernel_size)
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = FastDropout(self.dropout)(x, deterministic=deterministic)
         if self.classification:
             x = Linear(self.num_classes, name="fc")(x)
         return x.astype(jnp.float32)
@@ -127,7 +129,7 @@ class MetaModel(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         for _ in range(2):
             x = nn.relu(Linear(self.hidden_dim, dtype=self.dtype)(x))
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = FastDropout(self.dropout)(x, deterministic=deterministic)
         if self.classification:
             x = Linear(self.num_classes, name="fc")(x)
         return x.astype(jnp.float32)
@@ -251,14 +253,14 @@ class Informer(nn.Module):
         pe = jnp.zeros((L, self.d_model))
         pe = pe.at[:, 0::2].set(jnp.sin(pos * div)).at[:, 1::2].set(jnp.cos(pos * div))
         h = h + pe[None]
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
 
         for i in range(self.n_layers):
             a = ProbSparseSelfAttention(self.n_heads, dtype=self.dtype, name=f"attn_{i}")(h)
-            h = LayerNorm(name=f"norm1_{i}")(h + nn.Dropout(self.dropout)(a, deterministic=deterministic))
+            h = LayerNorm(name=f"norm1_{i}")(h + FastDropout(self.dropout)(a, deterministic=deterministic))
             f = Linear(4 * self.d_model, name=f"ff1_{i}")(h)
             f = Linear(self.d_model, name=f"ff2_{i}")(nn.relu(f))
-            h = LayerNorm(name=f"norm2_{i}")(h + nn.Dropout(self.dropout)(f, deterministic=deterministic))
+            h = LayerNorm(name=f"norm2_{i}")(h + FastDropout(self.dropout)(f, deterministic=deterministic))
             if self.distil and i < self.n_layers - 1:
                 h = DistilConvLayer(self.d_model, dtype=self.dtype, name=f"distil_{i}")(h)
                 if mask is not None:  # pool the valid mask alongside
@@ -270,7 +272,7 @@ class Informer(nn.Module):
                     )
                     mask = m[..., 0] > 0
         h = LayerNorm(name="norm_final")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
 
         if self.head == "flatten":
             # reference head: zero padding embeddings, flatten L*d_model
@@ -330,9 +332,9 @@ class SpectraViT(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         feats = ViT(dim=self.backbone_dim, depth=self.backbone_depth, dtype=self.dtype)(x)
         h = nn.relu(Linear(self.s_dim)(feats))
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
         h = nn.relu(Linear(256)(h))
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
         if self.classification:
             h = Linear(self.num_classes, name="fc")(h)
         return h.astype(jnp.float32)
@@ -511,10 +513,10 @@ class SpectraEfficientNetV2(nn.Module):
 
         h = Linear(self.s_dim, dtype=self.dtype)(feats)
         h = nn.relu(bn1d("head_bn0")(h))
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
         h = Linear(256, dtype=self.dtype)(h)
         h = nn.relu(bn1d("head_bn1")(h))
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
         if self.classification:
             h = Linear(self.num_classes, name="fc")(h)
         return h.astype(jnp.float32)
