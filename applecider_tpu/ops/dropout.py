@@ -37,14 +37,16 @@ class FastDropout(nn.Module):
     rate: float
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool):
         if deterministic or self.rate == 0.0:
             return x
-        if self.rate >= 1.0:
-            return jnp.zeros_like(x)
-        rng = self.make_rng("dropout")
         # drop iff bits < thresh: P(drop) = thresh / 2^8
         thresh = int(round(float(self.rate) * 256.0))
+        if thresh >= 256:  # rate rounds to 1: drop everything
+            return jnp.zeros_like(x)
+        if thresh == 0:  # rate < 1/512 rounds to a no-op: skip the RNG
+            return x
+        rng = self.make_rng("dropout")
         # A layout transpose-copy of the raw bits remains between
         # rng-bit-generator and the consumer (~2.6 ms/step per u16
         # (B,H,L,L) mask at b256); generating FLAT bits + reshape was

@@ -22,6 +22,8 @@ def main():
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xs = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
+    if not xs:
+        sys.exit(f"no xplane.pb under {trace_dir}/plugins/profile/")
     sp = xplane_pb2.XSpace()
     with open(xs[-1], "rb") as f:
         sp.ParseFromString(f.read())

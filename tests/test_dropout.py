@@ -3,7 +3,8 @@
 The reference trains with torch.nn.Dropout (p=0.4 transformer, 0.5/0.3
 SpectraNet head — src/applecider/default_config.toml:60-64,
 _archive/AppleCider/models/SpectraNet.py). FastDropout replaces the f32
-uniform draw with a 16-bit integer threshold; these tests pin the contract:
+uniform draw with an 8-bit integer threshold (drop prob quantized to
+1/256); these tests pin the contract:
 identity in eval, inverted scaling of kept values, drop rate within
 binomial noise of p, masked gradients, and iid masks across calls/sites.
 """
@@ -87,3 +88,31 @@ def test_full_rate_zeroes():
     x = jnp.ones((16,), jnp.float32)
     y = np.asarray(_apply(1.0, x))
     np.testing.assert_array_equal(y, 0.0)
+    # rates that ROUND to 256/256 must not overflow the uint8 threshold
+    y999 = np.asarray(_apply(0.999, x))
+    np.testing.assert_array_equal(y999, 0.0)
+
+
+def test_tiny_rate_is_identity():
+    # rates below 1/512 quantize to thresh=0: a documented exact no-op
+    x = jnp.arange(16.0)
+    y = np.asarray(_apply(0.001, x))
+    np.testing.assert_array_equal(y, np.asarray(x))
+
+
+def test_two_sites_draw_independent_masks():
+    """Two FastDropout sites under ONE parent module with a shared
+    'dropout' rng must produce different (path-folded) masks."""
+    from flax import linen as nn
+
+    class TwoSites(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            a = FastDropout(0.5, name="site_a")(x, deterministic=False)
+            b = FastDropout(0.5, name="site_b")(x, deterministic=False)
+            return a, b
+
+    x = jnp.ones((1 << 12,), jnp.float32)
+    a, b = TwoSites().apply({}, x, rngs={"dropout": jax.random.PRNGKey(0)})
+    a, b = np.asarray(a), np.asarray(b)
+    assert ((a == 0) != (b == 0)).any(), "sites reused the same mask"
