@@ -154,7 +154,11 @@ def alert_samples_for_object(
     t = photo["mjd"][order].astype(np.float32)  # rebased to first detection
     flux = photo["flux"][order].astype(np.float32)
     err = photo["flux_error"][order].astype(np.float32)
-    band = (photo["fid"][order].astype(np.int32) - 1).clip(0, 2)
+    # load_photometry guarantees fid in {1,2,3}; do NOT clip defensively —
+    # an out-of-range band must reach the device merge's in_band guard
+    # (stream.py) and stay unmerged, exactly like the training corpus,
+    # rather than being silently folded into g-band
+    band = photo["fid"][order].astype(np.int32) - 1
 
     cand_jd = []
     for alert in alerts:
@@ -246,6 +250,7 @@ def serve_alert_stream(
     int8: bool = False,
     calib_alerts: int = 64,
     out_jsonl: Optional[str | Path] = None,
+    horizon_days: Optional[float] = 100.0,
 ) -> dict:
     """Classify a stream of per-alert samples; returns a summary dict.
 
@@ -261,7 +266,7 @@ def serve_alert_stream(
     from applecider_tpu.infer.stream import FusedSpectraStream, LengthBinnedFeeder
 
     router = FusedSpectraStream(task, stats_mean=stats_mean, stats_std=stats_std,
-                                wave_grid=wave_grid)
+                                wave_grid=wave_grid, horizon_days=horizon_days)
     if int8:
         # int8 PTQ (ops/quant.py): calibrate activation scales on the
         # stream's own leading alerts (eagerly, on the host CPU backend),

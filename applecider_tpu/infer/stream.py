@@ -241,23 +241,40 @@ def merge_light_curve(t, flux, err, band, valid, dt_days: float = 0.5, eps: floa
 
 
 # --------------------------------------------------------- featurization
-def featurize_events(t_m, f_m, e_m, band_m, valid_m):
+def featurize_events(t_m, f_m, e_m, band_m, valid_m, horizon=None):
     """Merged light curve -> (P, 7) model features + pad mask + context(10,).
 
     Feature layout matches the training path (photo_dataset):
     [log1p dt, log1p dt_prev, logflux, logflux_err, one-hot band(3)].
     Context block matches ``preprocessing.events.CTX_COLUMNS``.
+
+    ``horizon`` (days, default None = keep all): the training datasets drop
+    merged events more than ``horizon`` days after first detection
+    (fusion_dataset.py ``dt <= self.horizon``, photo_dataset
+    ``build_photo_features``) and the normalization stats are computed on
+    the cut features — so serving must cut identically or long-baseline
+    objects (AGN/CV with years of photometry) feed the transformer dt
+    values training never produced. Merged events are time-ascending, so
+    the cut is a suffix mask: exactly equivalent to the training row-drop
+    because padded rows are fully masked through attention (unit-tested).
+    The CONTEXT block intentionally stays uncut: training context features
+    are causal prefix scans over the full kept history with no horizon
+    (preprocessing/events.py), and metadata24 picks them at the alert row.
     """
     P = t_m.shape[0]
     t0 = jnp.min(jnp.where(valid_m, t_m, jnp.inf))
     t_safe = jnp.where(valid_m, t_m, 0.0)
-    dt = jnp.where(valid_m, t_m - t0, 0.0)
+    if horizon is not None:
+        keep_m = valid_m & (t_m - t0 <= horizon)
+    else:
+        keep_m = valid_m
+    dt = jnp.where(keep_m, t_m - t0, 0.0)
     prev_t = jnp.concatenate([jnp.full((1,), t0), t_safe[:-1]])
-    dt_prev = jnp.where(valid_m, t_safe - prev_t, 0.0)
+    dt_prev = jnp.where(keep_m, t_safe - prev_t, 0.0)
     f = jnp.clip(f_m, 1e-6, None)
-    logf = jnp.where(valid_m, jnp.log10(f), 0.0)
-    logfe = jnp.where(valid_m, e_m * LOG_CONST / f, 0.0)
-    one_hot = jax.nn.one_hot(band_m, N_BANDS) * valid_m[:, None]
+    logf = jnp.where(keep_m, jnp.log10(f), 0.0)
+    logfe = jnp.where(keep_m, e_m * LOG_CONST / f, 0.0)
+    one_hot = jax.nn.one_hot(band_m, N_BANDS) * keep_m[:, None]
     feats = jnp.concatenate(
         [
             jnp.stack([jnp.log1p(dt), jnp.log1p(dt_prev), logf, logfe], axis=1),
@@ -286,7 +303,7 @@ def featurize_events(t_m, f_m, e_m, band_m, valid_m):
         ]
     )
     ctx = jnp.where(jnp.isfinite(ctx), ctx, -999.0)
-    return feats, ~valid_m, ctx
+    return feats, ~keep_m, ctx
 
 
 # -------------------------------------------------------------- spectra
@@ -576,7 +593,8 @@ class AlertStreamPipeline:
     def __init__(self, task, stats_mean=None, stats_std=None, dt_hours: float = 12.0,
                  wave_grid: Optional[np.ndarray] = None, mesh=None,
                  freeze_params_with=None, skip_spectra: bool = False,
-                 compact_spectra: bool = False, quantize_scales: Optional[dict] = None):
+                 compact_spectra: bool = False, quantize_scales: Optional[dict] = None,
+                 horizon_days: Optional[float] = 100.0):
         """``mesh``: optional ``jax.sharding.Mesh`` — the raw batch shards
         dim-0 over the ``data`` axis (params replicated), so one pipeline
         call fans out over every chip of a pod slice.
@@ -599,6 +617,9 @@ class AlertStreamPipeline:
             stats_std if stats_std is not None else np.ones(4, np.float32)
         )
         self.dt_days = dt_hours / 24.0
+        # Horizon cut to match the training datasets (default 100 days,
+        # `data_set.*.horizon`); None disables. See featurize_events.
+        self.horizon_days = None if horizon_days is None else float(horizon_days)
         if wave_grid is None:
             wave_grid = np.linspace(4500.0, 7980.0, 3481, dtype=np.float32)
         self.grid = jnp.asarray(wave_grid)
@@ -701,7 +722,9 @@ class AlertStreamPipeline:
                 raw["photo_t"], raw["photo_flux"], raw["photo_err"],
                 raw["photo_band"], raw["photo_valid"],
             )
-        feats, pad_mask, ctx = jax.vmap(featurize_events)(t_m, f_m, e_m, band_m, valid_m)
+        feats, pad_mask, ctx = jax.vmap(
+            partial(featurize_events, horizon=self.horizon_days)
+        )(t_m, f_m, e_m, band_m, valid_m)
         cont = (feats[..., :4] - self.mean) / (self.std + 1e-8)
         photometry = jnp.concatenate([cont, feats[..., 4:]], axis=-1)
 
@@ -840,7 +863,7 @@ def pack_alert_batch(
     overflow, unlike float16.
     """
     B = len(samples)
-    if length_buckets:
+    if length_buckets and samples:  # empty batch: any bucket works for (0, P)
         need = min(max(len(s["photo_t"]) for s in samples), max_photo)
         usable = [b for b in sorted(length_buckets) if b <= max_photo]
         max_photo = next((b for b in usable if b >= need), max_photo)
@@ -877,7 +900,9 @@ def pack_alert_batch(
     if t_all.shape[0] > 1:
         asc = np.diff(t_all) >= 0
         bnd = np.cumsum(lens)[:-1] - 1  # cross-sample comparisons exempt
-        asc[bnd[bnd >= 0]] = True
+        # clip both ends: a leading empty sample gives bnd=-1, a TRAILING
+        # empty sample gives bnd=N-1 == len(asc) (IndexError before this)
+        asc[bnd[(bnd >= 0) & (bnd < asc.shape[0])]] = True
         presorted = bool(asc.all())
     else:
         presorted = True
@@ -1093,9 +1118,16 @@ class FusedSpectraStream:
         return n
 
     def place(self, samples: list[dict], length_buckets=None,
-              image_dtype=np.float32, device=None):
+              image_dtype=np.float32, device=None, pad_to=None):
         """Pack the full batch + compact spectra block + gather map, then
-        device_put WITHOUT dispatching."""
+        device_put WITHOUT dispatching.
+
+        ``pad_to``: pad the PACKED batch-dim rows out to this size with
+        copies of row 0 (callers slice the pad off the output). Padding
+        packed rows — not the input sample list — keeps the host packing
+        and compact-spectra work proportional to the REAL samples
+        (LengthBinnedFeeder.flush on a 1-sample queue would otherwise pay
+        the full flush_bs pack)."""
         import jax
 
         # full-batch pack at max_spec=1: the per-sample spectra columns are
@@ -1134,6 +1166,12 @@ class FusedSpectraStream:
             gather[np.asarray(spec_idx)] = 1 + np.arange(len(spec_idx), dtype=np.int32)
         raw.update(spec_wl=wl, spec_flux=fx, spec_valid=vd,
                    spec_has=has, spec_gather=gather)
+        if pad_to is not None and B and pad_to > B:
+            # tile batch-dim tensors only; the compact spectra block
+            # (rows S+1) and spec_has are batch-independent
+            raw = {k: (np.concatenate([v, np.repeat(v[:1], pad_to - B, axis=0)])
+                       if v.shape and v.shape[0] == B else v)
+                   for k, v in raw.items()}
         if self.pipe.mesh is not None and device is None:
             return self.pipe._shard_compact(raw)
         put = (lambda v: jax.device_put(v, device)) if device is not None \
@@ -1215,10 +1253,16 @@ class LengthBinnedFeeder:
         indices = [i for i, _ in entries]
         samples = [s for _, s in entries]
         n_real = len(samples)
+        place_kw = {"length_buckets": (bucket,), "image_dtype": self.image_dtype}
         if pad and n_real < self.flush_bs:
-            samples = samples + [samples[0]] * (self.flush_bs - n_real)
-        placed = self.router.place(samples, length_buckets=(bucket,),
-                                   image_dtype=self.image_dtype)
+            import inspect
+
+            if "pad_to" in inspect.signature(self.router.place).parameters:
+                # pad PACKED rows (host pack stays O(n_real), see place)
+                place_kw["pad_to"] = self.flush_bs
+            else:  # router pads internally (RoutedAlertStream batch buckets)
+                samples = samples + [samples[0]] * (self.flush_bs - n_real)
+        placed = self.router.place(samples, **place_kw)
         inner = self.router.run_placed(self.params, placed)
 
         def resolver(inner=inner, n_real=n_real):

@@ -206,6 +206,21 @@ class AppleCiderRuntime:
         with np.load(stats_path) as st:
             return st["mean"].astype(np.float32)[:4], st["std"].astype(np.float32)[:4]
 
+    def _serve_horizon(self):
+        """Horizon cut (days) for the serving featurization: the training
+        datasets drop merged events past ``data_set.*.horizon`` (default
+        100), so serving must cut identically. ``[serve].horizon_days``
+        overrides; the fusion dataset's own value is the default."""
+        sec = self.config.section("serve")
+        if "horizon_days" in sec:
+            v = sec.get("horizon_days")
+            return None if v in ("", "none", None) else float(v)
+        from applecider_tpu.datasets.fusion_dataset import FusionDataset
+
+        return float(self.config.section(
+            "data_set", FusionDataset.SECTION
+        ).get("horizon", 100.0))
+
     @staticmethod
     def _export_with_symbolic_batch(fn, params, make_struct, concrete_b: int):
         """jax.export with a symbolic batch dim; concrete fallback.
@@ -249,7 +264,8 @@ class AppleCiderRuntime:
                 "serve.length_buckets", default=(63, 127, 191, 255, 257)))
         mean, std = self._serve_stats()  # bake the TRAINING normalization in
         pipe = AlertStreamPipeline(task, stats_mean=mean, stats_std=std,
-                                   wave_grid=wave_grid)
+                                   wave_grid=wave_grid,
+                                   horizon_days=self._serve_horizon())
         out_path = Path(out_path) if out_path else self._new_run_dir("export-serving")
         out_path.mkdir(parents=True, exist_ok=True)
 
@@ -335,6 +351,23 @@ class AppleCiderRuntime:
             raw = pack_alert_batch([s for _, s in batch],
                                    length_buckets=buckets, max_spec=max_spec)
             P = raw["photo_t"].shape[1]
+            bmeta = meta.get("buckets", {}).get(str(P), {})
+            n = len(batch)
+            if not bmeta.get("symbolic_batch", True):
+                # this bucket's program was exported at a CONCRETE batch
+                # size (symbolic lowering failed — export() docs promise
+                # the tail pads for those): repeat the last row to fill,
+                # slice padding off below
+                cb = int(bmeta.get("batch_size", n))
+                if n > cb:
+                    raise ValueError(
+                        f"batch of {n} exceeds bucket P={P}'s concrete "
+                        f"exported batch size {cb}; lower batch_size or "
+                        f"re-export with a symbolic batch")
+                if n < cb:
+                    raw = {k: np.concatenate(
+                        [v, np.repeat(v[-1:], cb - n, axis=0)])
+                        for k, v in raw.items()}
             out = np.asarray(programs[P].call(params, raw))
             for j, (info, _) in enumerate(batch):
                 infos.append(info)
@@ -380,21 +413,7 @@ class AppleCiderRuntime:
             if not self.datasets:
                 self.prepare()
             params, _, _ = self._restore_latest_params(task)
-        mean = std = None
-        stats_path = sec.get("stats_event_path", "")
-        if not stats_path:
-            # fall back to the fusion dataset's training stats so serve
-            # normalizes photometry exactly as the model was trained
-            # (the infer verb reads the same section)
-            from applecider_tpu.datasets.fusion_dataset import FusionDataset
-
-            stats_path = self.config.section(
-                "data_set", FusionDataset.SECTION
-            ).get("stats_event_path", "")
-        if stats_path:
-            with np.load(stats_path) as st:
-                mean = st["mean"].astype(np.float32)[:4]
-                std = st["std"].astype(np.float32)[:4]
+        mean, std = self._serve_stats()
         out_dir = self._new_run_dir("serve")
         summary = serve_alert_stream(
             task,
@@ -410,6 +429,7 @@ class AppleCiderRuntime:
             stats_std=std,
             int8=bool(sec.get("int8", False)),
             out_jsonl=out_dir / "alerts.jsonl",
+            horizon_days=self._serve_horizon(),
         )
         (out_dir / "serve.json").write_text(json.dumps(
             {k: v for k, v in summary.items() if k != "results"}
@@ -422,7 +442,14 @@ class AppleCiderRuntime:
         if not self.datasets:
             self.prepare()
         task = self._task()
-        export_dir = Path(export_dir) if export_dir else sorted(self.workdir.glob("*-export-*"))[-1]
+        if export_dir:
+            export_dir = Path(export_dir)
+        else:
+            # '*-export-*' would also match '*-export-serving-*' run dirs
+            # (which hold per-bucket serving programs, no model.stablehlo)
+            dirs = [p for p in self.workdir.glob("*-export-*")
+                    if "-export-serving-" not in p.name]
+            export_dir = sorted(dirs)[-1]
         exported = jax.export.deserialize((export_dir / "model.stablehlo").read_bytes())
 
         import orbax.checkpoint as ocp

@@ -6,6 +6,7 @@ EXACTLY the probabilities of the monolithic ``AlertStreamPipeline`` on the
 same samples (binning/fusing only reorder batch membership; reference
 per-alert loop ``brew_cider.py:1134-1193``)."""
 
+import json
 import numpy as np
 import pytest
 
@@ -311,3 +312,54 @@ def test_engine_serving_matches_live_serve(corpus, tmp_path):
     want = np.asarray(AlertStreamPipeline(task, wave_grid=GRID)(params, raw))
     got = np.stack([r["probs"] for r in summary["results"]])
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_engine_serving_concrete_fallback(corpus, tmp_path, monkeypatch):
+    """When a bucket's symbolic lowering fails, export_serving falls back
+    to a CONCRETE batch size — engine_serving must pad the tail batch to
+    that size (and slice the pad off) instead of crashing on shape
+    mismatch."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import jax
+
+    from __graft_entry__ import _fusion_task
+
+    from applecider_tpu.train.runtime import AppleCiderRuntime
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    variables = task.init(
+        jax.random.PRNGKey(0),
+        (np.zeros((2, 8, 7), np.float32), np.zeros((2, 8), bool),
+         np.zeros((2, 24), np.float32), np.zeros((2, 63, 63, 3), np.float32),
+         np.zeros((2, len(GRID)), np.float32), np.zeros(2, np.int64)),
+    )
+    params = variables["params"]
+    tiny = {
+        "model": {"name": "Fusion",
+                  "BaselineCLS": {"d_model": 16, "n_heads": 2, "n_layers": 1,
+                                  "dropout": 0.0},
+                  "SpectraNet": {"channels": [4, 8], "depths": [1, 1],
+                                 "kernel_sizes_per_stage": [[3, 7], [3, 5]]},
+                  "AstroMiNN": {"backbone_depths": [1, 1],
+                                "backbone_dims": [8, 16]}},
+        "train": {"compute_dtype": "float32"},
+        "serve": {"data_location": str(corpus), "batch_size": 4},
+    }
+    rt = AppleCiderRuntime(overrides=tiny, workdir=tmp_path / "results")
+    # force every bucket onto the concrete-batch fallback path
+    monkeypatch.setattr(
+        jax.export, "symbolic_shape",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("forced")),
+    )
+    out = rt.export_serving(out_path=tmp_path / "exp", length_buckets=(32,),
+                            max_spec=128, params=params, wave_grid=GRID)
+    meta = json.loads((out / "serving_meta.json").read_text())
+    assert meta["buckets"]["32"]["symbolic_batch"] is False
+    # batch_size 3 < concrete 4 and the stream size isn't divisible either
+    summary = rt.engine_serving(export_dir=out, raw_path=corpus,
+                                batch_size=3, params=params)
+    assert summary["n_alerts"] > 0
+    assert all(np.all(np.isfinite(r["probs"])) for r in summary["results"])

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+from functools import partial
 
 from applecider_tpu.infer.stream import (
     AlertStreamPipeline,
@@ -756,3 +757,75 @@ def test_merge_out_of_range_band_stays_unmerged():
     t_m, f_m, e_m, b_m, v_m = base
     assert not np.any(np.isclose(f_m[v_m], 20.0))
     assert v_m.sum() == 3  # three in-range groups survive
+
+
+def test_featurize_horizon_cut_matches_row_drop(rng):
+    """horizon masking == the training datasets' row drop (dt <= horizon,
+    fusion_dataset.py / photo_dataset.build_photo_features): merged events
+    are time-ascending so the cut is a suffix; masked rows must look
+    exactly like padding, and the CONTEXT block must stay UNCUT (training
+    context features are causal scans with no horizon)."""
+    P, n = 64, 40
+    t = np.sort(rng.uniform(0, 300, n)).astype(np.float32)  # spans > 100 d
+    t[0] = 0.0
+    flux = rng.uniform(1, 100, n).astype(np.float32)
+    err = rng.uniform(0.1, 2, n).astype(np.float32)
+    band = rng.integers(0, 3, n).astype(np.int32)
+    horizon = 100.0
+    n_keep = int((t - t[0] <= horizon).sum())
+    assert 0 < n_keep < n  # the cut actually bites
+
+    def pack(tt, ff, ee, bb, m):
+        tp = np.zeros(P, np.float32); tp[:m] = tt[:m]
+        fp = np.zeros(P, np.float32); fp[:m] = ff[:m]
+        ep = np.ones(P, np.float32); ep[:m] = ee[:m]
+        bp = np.zeros(P, np.int32); bp[:m] = bb[:m]
+        vp = np.zeros(P, bool); vp[:m] = True
+        return map(jnp.asarray, (tp, fp, ep, bp, vp))
+
+    # device cut: full history + horizon mask
+    feats, pad, ctx = jax.jit(partial(featurize_events, horizon=horizon))(
+        *pack(t, flux, err, band, n))
+    # oracle: training-style row drop BEFORE featurization, no horizon
+    feats_o, pad_o, _ = jax.jit(featurize_events)(
+        *pack(t, flux, err, band, n_keep))
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats_o),
+                               rtol=1e-6, atol=0)
+    np.testing.assert_array_equal(np.asarray(pad), np.asarray(pad_o))
+    # context stays computed over the FULL causal history
+    _, _, ctx_full = jax.jit(featurize_events)(*pack(t, flux, err, band, n))
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_full),
+                               rtol=1e-6, atol=0)
+
+
+def test_pack_trailing_empty_sample(rng):
+    """A sample with an EMPTY light curve in the LAST slot must pack (the
+    presorted-detection boundary index ran past len(diff))."""
+    from applecider_tpu.infer.stream import pack_alert_batch
+
+    def mk(P):
+        return {
+            "photo_t": np.sort(rng.uniform(0, 30, P)).astype(np.float32),
+            "photo_flux": rng.uniform(1, 100, P).astype(np.float32),
+            "photo_err": rng.uniform(0.1, 2, P).astype(np.float32),
+            "photo_band": rng.integers(0, 3, P).astype(np.int32),
+            "image": np.zeros((63, 63, 3), np.float32),
+            "meta19": np.zeros(19, np.float32),
+        }
+
+    for layout in ([5, 0], [0, 5], [5, 0, 0], [0]):
+        samples = [mk(P) for P in layout]
+        raw = pack_alert_batch(samples, max_photo=16)
+        assert raw["photo_valid"].sum() == sum(layout)
+        for i, P in enumerate(layout):
+            assert raw["photo_valid"][i].sum() == P
+
+
+def test_pack_empty_batch_with_buckets():
+    """pack_alert_batch([], length_buckets=...) returns empty arrays
+    instead of crashing in the bucket-size max()."""
+    from applecider_tpu.infer.stream import pack_alert_batch
+
+    raw = pack_alert_batch([], length_buckets=(8, 16))
+    assert raw["photo_t"].shape[0] == 0
+    assert raw["image"].shape[0] == 0

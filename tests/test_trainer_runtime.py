@@ -183,3 +183,16 @@ def test_grad_accum_matches_big_batch(prepared, tmp_path):
     a = np.asarray(p_small["trunk"]["in_proj"]["kernel"])
     b = np.asarray(p_big["trunk"]["in_proj"]["kernel"])
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_engine_ignores_serving_export_dirs(prepared, tmp_path):
+    """engine() with no export_dir must pick the latest *-export-* run dir
+    that is a MODEL export — a newer '*-export-serving-*' dir (per-bucket
+    serving programs, no model.stablehlo) must not shadow it."""
+    rt = _runtime(prepared, tmp_path, epochs=1)
+    rt.prepare(); rt.train(); rt.export()
+    # a LATER-sorting serving export dir that engine() must skip
+    decoy = rt.workdir / "zzzz-export-serving-Fusion"
+    decoy.mkdir(parents=True)
+    out = rt.engine()
+    assert np.isfinite(out).all()
