@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 
 from applecider_tpu.datasets.oversampler import Oversampler
+from applecider_tpu.datasets.photo_dataset import load_photo_stats
 from applecider_tpu.datasets.photo_dataset import (
     DEFAULT_MAX_LEN,
     TAXONOMY_BY_NAME,
@@ -43,9 +44,7 @@ class FusionDataset:
         self.mean = np.zeros(4, np.float32)
         self.std = np.ones(4, np.float32)
         if stats_path:
-            with np.load(stats_path) as st:
-                self.mean = st["mean"].astype(np.float32)[:4]
-                self.std = st["std"].astype(np.float32)[:4]
+            self.mean, self.std = load_photo_stats(stats_path)
 
         # (manifest row, event index) pairs
         self._rows: list[tuple[int, int]] = []
@@ -77,32 +76,58 @@ class FusionDataset:
             idx, _ = self.oversampler.resolve(idx)
         return self._rows[idx]
 
-    def sample(self, idx: int) -> dict:
-        mi, t = self._resolve(idx)
+    def _object_arrays(self, mi: int) -> dict:
+        """Decoded per-object arrays, cached for the current object.
+
+        ``per_alert`` mode draws T consecutive samples from the same
+        object (the index map is contiguous per object before shuffling,
+        and even shuffled epochs revisit each object T times); without a
+        cache every sample re-decompresses the whole npz and rebuilds the
+        full (T, 24) metadata matrix — O(T^2) work per object per epoch.
+        One-object LRU keeps memory bounded while removing the
+        duplicate-decode factor for contiguous access patterns."""
+        if getattr(self, "_obj_cache_mi", None) == mi:
+            return self._obj_cache
         rec = self.manifest.iloc[mi]
         with np.load(rec.filepath, allow_pickle=True) as npz:
-            event_data = npz["event_data"]
-            cols = {c: i for i, c in enumerate(npz["event_columns"])}
-            jd = npz["jd"]
-            cut_jd = jd[t]
-            keep = jd <= cut_jd
-            dt = event_data[keep, cols["dt"]]
-            horizon_keep = dt <= self.horizon
-            dt = dt[horizon_keep]
-            dt_prev = event_data[keep, cols["dt_prev"]][horizon_keep]
-            logf = event_data[keep, cols["logflux"]][horizon_keep]
-            logfe = event_data[keep, cols["logflux_err"]][horizon_keep]
-            band = event_data[keep, cols["band_id"]][horizon_keep]
-            vec4 = np.stack([np.log1p(dt), np.log1p(dt_prev), logf, logfe], axis=1)
-            one_hot = np.eye(3, dtype=np.float32)[np.clip(band.astype(np.int64), 0, 2)]
-            photometry = np.concatenate([vec4, one_hot], axis=1).astype(np.float32)
-
-            metadata = metadata24_from_npz(npz["meta_data"], npz["meta_columns"])[t]
-            image = npz["images"][t]
             spectrum = npz["spectrum"]
             if spectrum.shape[0] == 0:
                 spectrum = np.zeros(SPECTRUM_BINS, np.float32)
-            label = TAXONOMY_BY_NAME.get(str(npz["label_str"]), 0)
+            obj = {
+                "event_data": npz["event_data"],
+                "cols": {c: i for i, c in enumerate(npz["event_columns"])},
+                "jd": npz["jd"],
+                "metadata24": metadata24_from_npz(
+                    npz["meta_data"], npz["meta_columns"]),
+                "images": npz["images"],
+                "spectrum": spectrum,
+                "label": TAXONOMY_BY_NAME.get(str(npz["label_str"]), 0),
+            }
+        self._obj_cache_mi = mi
+        self._obj_cache = obj
+        return obj
+
+    def sample(self, idx: int) -> dict:
+        mi, t = self._resolve(idx)
+        obj = self._object_arrays(mi)
+        event_data, cols, jd = obj["event_data"], obj["cols"], obj["jd"]
+        cut_jd = jd[t]
+        keep = jd <= cut_jd
+        dt = event_data[keep, cols["dt"]]
+        horizon_keep = dt <= self.horizon
+        dt = dt[horizon_keep]
+        dt_prev = event_data[keep, cols["dt_prev"]][horizon_keep]
+        logf = event_data[keep, cols["logflux"]][horizon_keep]
+        logfe = event_data[keep, cols["logflux_err"]][horizon_keep]
+        band = event_data[keep, cols["band_id"]][horizon_keep]
+        vec4 = np.stack([np.log1p(dt), np.log1p(dt_prev), logf, logfe], axis=1)
+        one_hot = np.eye(3, dtype=np.float32)[np.clip(band.astype(np.int64), 0, 2)]
+        photometry = np.concatenate([vec4, one_hot], axis=1).astype(np.float32)
+
+        metadata = obj["metadata24"][t]
+        image = obj["images"][t]
+        spectrum = obj["spectrum"]
+        label = obj["label"]
         return {
             "photometry": photometry,
             "metadata": metadata.astype(np.float32),

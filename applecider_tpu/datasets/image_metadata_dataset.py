@@ -62,9 +62,18 @@ class ImageAndMetadataDataset:
         self.enable_cache = bool(section.get("enable_image_cache", False))
         self._cache: dict[int, np.ndarray] = {}
 
+        # -1 for unknown targets: the Oversampler includes them once but
+        # never replicates them (their get_target one-hot is all-zero)
         self.class_at_index = np.asarray(
-            [max(coarse_group(str(r.get("target"))), 0) for r in self.records], np.int64
+            [coarse_group(str(r.get("target"))) for r in self.records], np.int64
         )
+        n_unknown = int((self.class_at_index < 0).sum())
+        if n_unknown:
+            import warnings
+
+            warnings.warn(
+                f"{n_unknown} records have unrecognized targets; they are "
+                "excluded from oversampling and train with all-zero one-hots")
         self.use_oversampling = bool(section.get("use_oversampling", False))
         self.oversampler = None
         if self.use_oversampling:
@@ -90,7 +99,9 @@ class ImageAndMetadataDataset:
         if size == 63:
             return 0, 63
         i1 = (63 - size) // 2
-        return i1, 63 - i1
+        # i1 + size, NOT 63 - i1: for even sizes (e.g. the ViT patch 32)
+        # 63 - i1 yields size+1 pixels
+        return i1, i1 + size
 
     def get_image(self, idx: int) -> np.ndarray:
         idx = self._resolve(idx)

@@ -69,22 +69,46 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list[BaseException] = []
+        stop = threading.Event()  # set when the consumer abandons the epoch
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer is gone — an
+            # abandoned `for batch in loader: break` must not leave this
+            # thread blocked forever holding assembled batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in batches:
-                    q.put(self._make_batch(b))
+                    if stop.is_set() or not _put(self._make_batch(b)):
+                        return
             except BaseException as e:  # surfaced in the consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+            # unblock a producer stuck in q.put, then reap the thread
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)

@@ -53,10 +53,17 @@ class Oversampler:
         rng = np.random.default_rng(seed)
         class_at_index = np.asarray(class_at_index, dtype=np.int64)
         n_classes = len(ideal_distribution)
-        counts = np.bincount(class_at_index, minlength=n_classes)[:n_classes]
+        # class -1 = "unknown target": ride through once (every original
+        # index is always included) but never count toward nor replicate
+        # for the balance — replicating a sample whose training target is
+        # degenerate only amplifies it
+        counts = np.bincount(
+            class_at_index[class_at_index >= 0], minlength=n_classes
+        )[:n_classes]
         targets = oversampling_targets(ideal_distribution, counts)
         self.additional_per_class = targets - counts
-        self.total_count = int(targets.sum())
+        # unknown-class rows still ride through once each
+        self.total_count = int(targets.sum() + (class_at_index < 0).sum())
 
         original = np.arange(len(class_at_index))
         extra_idx = []

@@ -36,9 +36,9 @@ COARSE_CLASSES = ("SN I", "SN II", "Cataclysmic", "AGN", "Tidal Disruption Event
 TAXONOMY_BY_NAME = {
     "SN I": 0, "SN Ia": 0, "SN Ib": 0, "SN Ic": 0,
     "SN II": 1, "SN IIP": 1, "SN IIp": 1, "SN IIn": 1, "SN IIb": 1,
-    "Cataclysmic": 2,
+    "Cataclysmic": 2, "CV": 2,
     "AGN": 3,
-    "Tidal Disruption Event": 4,
+    "Tidal Disruption Event": 4, "TDE": 4,
 }
 
 DEFAULT_MAX_LEN = 257
@@ -92,9 +92,7 @@ class PhotoEventsDataset:
 
         stats_path = section.get("stats_path", "")
         if stats_path and Path(stats_path).exists():
-            with np.load(stats_path) as st:
-                self.mean = st["mean"].astype(np.float32)[:4]
-                self.std = st["std"].astype(np.float32)[:4]
+            self.mean, self.std = load_photo_stats(stats_path)
         else:
             self.mean = np.zeros(4, np.float32)
             self.std = np.ones(4, np.float32)
@@ -180,6 +178,28 @@ def collate_photometry(samples: list[dict], max_len: int = DEFAULT_MAX_LEN) -> d
     if "label" in samples[0]:
         out["label"] = np.asarray([s["label"] for s in samples], np.int64)
     return {"data": out}
+
+
+def load_photo_stats(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, std) for the 4 TRANSFORMED photometry channels
+    [log1p dt, log1p dt_prev, logflux, logflux_err] from a
+    ``compute_photo_feature_stats`` npz.
+
+    Refuses the raw per-column layout (``feature_stats_event.npz``, which
+    carries a ``columns`` key): its first four EVENT_COLUMNS are raw dt,
+    raw dt_prev, band_id, logflux — a silent ``[:4]`` slice would
+    normalize the model's log1p(dt)/log1p(dt_prev)/logflux/logflux_err
+    channels with entirely wrong statistics (the reference applies stats
+    to the transformed features, HyraxBaselineCLS.py:156-157)."""
+    with np.load(path) as st:
+        if "columns" in st.files:
+            raise ValueError(
+                f"{path} holds RAW per-column event stats "
+                f"(columns={[str(c) for c in st['columns'][:5]]}...); the "
+                "model normalizes the TRANSFORMED 4-channel features — "
+                "build photo_stats.npz with "
+                "datasets.photo_dataset.compute_photo_feature_stats")
+        return st["mean"].astype(np.float32)[:4], st["std"].astype(np.float32)[:4]
 
 
 def compute_photo_feature_stats(manifest_path: str | Path, horizon: float, out_path: str | Path):

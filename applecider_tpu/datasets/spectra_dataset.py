@@ -29,6 +29,25 @@ LABEL_STRINGS = {
     "Tidal Disruption Event": 8,
 }
 
+# common spelling variants used elsewhere in the taxonomy maps
+_LABEL_ALIASES = {"SN IIp": "SN IIP", "TDE": "Tidal Disruption Event",
+                  "CV": "Cataclysmic"}
+
+
+def _label_index(label: str) -> int:
+    """9-class index with variant tolerance and a clear error.
+
+    The reference's map (spectra_dataset.py:15-25) KeyErrors on any
+    spelling variant; the rest of this package deliberately tolerates
+    'SN IIp'/'TDE'/'CV', so accept them here too, and fail with the
+    expected-label list instead of a bare KeyError."""
+    key = _LABEL_ALIASES.get(label, label)
+    if key in LABEL_STRINGS:
+        return LABEL_STRINGS[key]
+    raise ValueError(
+        f"unknown spectra label {label!r}; expected one of "
+        f"{sorted(LABEL_STRINGS)} (or variants {sorted(_LABEL_ALIASES)})")
+
 
 def _load_table(path: str | Path) -> dict:
     path = Path(path)
@@ -87,7 +106,7 @@ class SpectraDataset:
             self._flux = self._flux[:, 0, :]
         self._labels = table["labels"]
         self._label_idx = np.asarray(
-            [LABEL_STRINGS[str(label)] for label in self._labels], np.int32
+            [_label_index(str(label)) for label in self._labels], np.int32
         )
         self._redshifts = table["redshifts"]
         self._file_paths = table["file_paths"]

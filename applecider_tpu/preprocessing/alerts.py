@@ -98,7 +98,12 @@ class AlertIndex:
         return None
 
     def nearest_any(self, fid: int, jd: float):
-        """Nearest decodable alert in time regardless of window, or None."""
+        """Nearest-in-time alert regardless of window, or None.
+
+        Matches the reference exactly (preprocess_multimodal.py
+        ``get_nearest_any`` :495-523): only the TWO time-bracketing alerts
+        are considered — if both fail to decode, this returns None even
+        when a farther alert would decode. Deliberate parity, not a bug."""
         pack = self.by_fid.get(fid)
         if pack is None or len(pack["jd"]) == 0:
             return None

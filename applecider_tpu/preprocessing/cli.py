@@ -37,6 +37,17 @@ def preprocess_data(
         min_per_class=min_per_class,
         seed=seed,
     )
+    # model-ready normalization stats over the TRANSFORMED photometry
+    # channels (the feature_stats_event.npz written above is raw
+    # per-EVENT_COLUMN stats — wrong layout for the model's (x-mean)/std,
+    # and load_photo_stats refuses it)
+    train_manifest = Path(output_path) / "manifest_train.csv"
+    if train_manifest.exists():
+        from applecider_tpu.datasets.photo_dataset import compute_photo_feature_stats
+
+        compute_photo_feature_stats(
+            train_manifest, 100.0, Path(output_path) / "photo_stats.npz"
+        )
 
 
 def main(argv=None):

@@ -203,8 +203,9 @@ class AppleCiderRuntime:
             ).get("stats_event_path", "")
         if not stats_path:
             return None, None
-        with np.load(stats_path) as st:
-            return st["mean"].astype(np.float32)[:4], st["std"].astype(np.float32)[:4]
+        from applecider_tpu.datasets.photo_dataset import load_photo_stats
+
+        return load_photo_stats(stats_path)
 
     def _serve_horizon(self):
         """Horizon cut (days) for the serving featurization: the training

@@ -58,7 +58,10 @@ def main(root: Path):
         cfg.set(key, val)
     sec = f'data_set."{FusionDataset.SECTION}"'
     cfg.set(f"{sec}.manifest_path", str(out / "manifest_train.csv"))
-    cfg.set(f"{sec}.stats_event_path", str(out / "feature_stats_event.npz"))
+    # photo_stats.npz = stats over the TRANSFORMED 4 channels (written by
+    # preprocess_data); feature_stats_event.npz is raw per-column stats
+    # and load_photo_stats refuses it
+    cfg.set(f"{sec}.stats_event_path", str(out / "photo_stats.npz"))
     cfg.set(f"{sec}.max_len", 64)
 
     # 3. per-alert fusion dataset + trainer (brew_cider Trainer semantics)

@@ -194,3 +194,118 @@ def test_oversampler_all_absent_returns_identity():
     np.testing.assert_array_equal(
         oversampling_targets([0.0, 1.0], [5, 0]), [5, 0]
     )
+
+
+def test_load_photo_stats_refuses_raw_event_layout(tmp_path):
+    """feature_stats_event.npz carries raw EVENT_COLUMNS stats; slicing
+    [:4] would normalize log1p(dt)/logflux channels with raw-dt/band_id
+    statistics — the loader must refuse the layout loudly."""
+    import pytest
+
+    from applecider_tpu.datasets.photo_dataset import load_photo_stats
+
+    raw = tmp_path / "feature_stats_event.npz"
+    np.savez(raw, columns=np.asarray(["dt", "dt_prev", "band_id", "logflux"]),
+             mean=np.arange(14.0), std=np.ones(14))
+    with pytest.raises(ValueError, match="RAW per-column"):
+        load_photo_stats(raw)
+
+    ok = tmp_path / "photo_stats.npz"
+    np.savez(ok, mean=np.arange(4.0, dtype=np.float32),
+             std=np.full(4, 2.0, np.float32))
+    mean, std = load_photo_stats(ok)
+    np.testing.assert_array_equal(mean, np.arange(4.0, dtype=np.float32))
+    np.testing.assert_array_equal(std, 2.0)
+
+
+def test_taxonomy_tde_alias():
+    from applecider_tpu.datasets.photo_dataset import TAXONOMY_BY_NAME
+
+    assert TAXONOMY_BY_NAME["TDE"] == TAXONOMY_BY_NAME["Tidal Disruption Event"] == 4
+    assert TAXONOMY_BY_NAME["CV"] == TAXONOMY_BY_NAME["Cataclysmic"] == 2
+
+
+def test_spectra_label_variants():
+    from applecider_tpu.datasets.spectra_dataset import _label_index
+
+    assert _label_index("SN IIp") == _label_index("SN IIP") == 2
+    assert _label_index("TDE") == 8
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown spectra label"):
+        _label_index("Kilonova")
+
+
+def test_oversampler_ignores_unknown_class():
+    """class -1 (unknown target) rides through once but is never counted
+    toward nor replicated for the balance."""
+    from applecider_tpu.datasets.oversampler import Oversampler
+
+    classes = np.asarray([0, 0, 0, 0, 1, -1, -1])
+    os_with = Oversampler([0.5, 0.5], classes, seed=0)
+    os_wo = Oversampler([0.5, 0.5], classes[:5], seed=0)
+    # same balancing decision as if the unknowns didn't exist...
+    assert len(os_with) - 2 == len(os_wo)
+    # ...and no unknown row is ever replicated
+    resolved = [os_with.resolve(i) for i in range(len(os_with))]
+    unknown_hits = [orig for orig, over in resolved if orig >= 5]
+    assert sorted(unknown_hits) == [5, 6]
+
+
+def test_loader_abandoned_iteration_reaps_producer():
+    """`for batch in loader: break` must not leak a producer thread
+    blocked on the bounded queue."""
+    import threading
+
+    from applecider_tpu.datasets.loader import DataLoader
+
+    class Tiny:
+        def __len__(self):
+            return 64
+
+        def sample(self, i):
+            return {"x": np.full(3, i, np.float32)}
+
+        def collate(self, samples):
+            return {"x": np.stack([s["x"] for s in samples])}
+
+    before = threading.active_count()
+    loader = DataLoader(Tiny(), batch_size=4, shuffle=False, prefetch=2)
+    for _ in range(8):  # repeated abandoned epochs
+        for batch in loader:
+            break
+    # producers must exit promptly once the consumer abandons the epoch
+    import time
+
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1
+
+
+def test_fusion_per_alert_object_cache_consistent(tmp_path):
+    """the one-object cache must return byte-identical samples on repeat
+    access and across object switches."""
+    # reuse the corpus the module's other fusion tests build, if present;
+    # otherwise build a small one
+    from applecider_tpu.preprocessing.cli import preprocess_data
+    from applecider_tpu.testing import make_corpus
+
+    data_dir, labels_csv = make_corpus(tmp_path, n_objects=12, seed=3,
+                                       n_photometry=12, n_alerts=3)
+    out = tmp_path / "out"
+    preprocess_data(str(data_dir), str(labels_csv), str(out), min_per_class=1, seed=1)
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.datasets.fusion_dataset import FusionDataset
+
+    cfg = load_defaults()
+    sec = f'data_set."{FusionDataset.SECTION}"'
+    cfg.set(f"{sec}.manifest_path", str(out / "manifest_train.csv"))
+    ds = FusionDataset(cfg, mode="per_alert")
+    n = min(len(ds), 8)
+    first = [ds.sample(i) for i in range(n)]
+    again = [ds.sample(i) for i in range(n)]  # warm-cache path
+    for a, b in zip(first, again):
+        for k in ("photometry", "metadata", "image", "spectrum"):
+            np.testing.assert_array_equal(a[k], b[k])
+        assert a["label"] == b["label"]
