@@ -142,7 +142,10 @@ class AstroMiNNModule(nn.Module):
                 to, self.backbone_depths, self.backbone_dims, dtype=self.dtype, name="image_tower"
             )(image.astype(self.dtype or jnp.float32), **kw)
         else:
-            img_feats = jnp.zeros_like(nsta)
+            # width must match the image tower's slot (towers_outdims);
+            # zeros_like(nsta) was fusion_outdims wide and broke the concat
+            # whenever to != fo
+            img_feats = jnp.zeros_like(spatial)
 
         all_feats = jnp.concatenate(
             [nsta, nstb, spatial, psf, mag, coord, mega, img_feats, lc], axis=-1

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from applecider_tpu.models.layers import Linear, gelu_exact, torch_bias_init
+from applecider_tpu.models.layers import LayerNorm, Linear, gelu_exact, torch_bias_init
 
 
 # --------------------------------------------------------------- depthwise
@@ -83,22 +83,13 @@ def _dw_impl(h: int, w: int, k: int, pad: int) -> str:
     return "conv"
 
 
-class LayerNorm6(nn.Module):
-    """LayerNorm over channels with eps 1e-6 (ConvNeXt convention), f32 math."""
+class LayerNorm6(LayerNorm):
+    """layers.LayerNorm with the ConvNeXt eps 1e-6 default.
+
+    Same param names/math as the shared LayerNorm (was a verbatim copy;
+    kept as a subclass so future fixes land in one place)."""
 
     eps: float = 1e-6
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x):
-        orig = x.dtype
-        x = x.astype(jnp.float32)
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
-        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
-        return y.astype(self.dtype or orig)
 
 
 def _conv_init(key, shape, dtype=jnp.float32):

@@ -127,6 +127,11 @@ class AppleCiderTask(Task):
             spectra = SpectraNetTriPoolModule(
                 channels=tuple(tc.get("channels", (16, 32, 64, 128, 256))),
                 depths=tuple(tc.get("depths", (1,) * n_stages)),
+                kernel_sizes_per_stage=tuple(
+                    tuple(k) for k in tc.get(
+                        "kernel_sizes_per_stage",
+                        SpectraNetTriPoolModule.kernel_sizes_per_stage)
+                ),
                 use_ln_stages=tuple(tc.get("use_ln_stages", (True,) * n_stages)),
                 classification=False,
                 conv_mode=str(tc.get("conv_mode", "auto")),

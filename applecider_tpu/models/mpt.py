@@ -97,13 +97,15 @@ class MPTModule(nn.Module):
     n_layers: int = 4
     dropout: float = 0.40
     dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "xla"  # honor model.BaselineCLS.attention_impl too
     remat: object = False  # False | True | "attn"
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic: bool = True):
         z = BaselineCLSEncoder(
             self.d_model, self.n_heads, self.n_layers, self.dropout,
-            dtype=self.dtype, remat=self.remat, name="trunk",
+            dtype=self.dtype, attn_impl=self.attn_impl, remat=self.remat,
+            name="trunk",
         )(x, pad_mask, deterministic=deterministic, te_dropout=True)
         h = z[:, 1:].astype(jnp.float32)  # event tokens only
         f_hat = Linear(1, name="head_flux")(h)[..., 0]
@@ -137,6 +139,7 @@ class MPTTask(Task):
             n_layers=int(mc["n_layers"]),
             dropout=float(mc["dropout"]),
             dtype=self.compute_dtype(),
+            attn_impl=str(mc.get("attention_impl", "xla")),
             remat=resolve_remat(mc.get("remat", "auto")),
         )
 

@@ -200,6 +200,7 @@ class SpectraNetTask(Task):
                 if isinstance(mc.get("class_order"), (list, tuple))
                 else int(mc.get("class_order", 9))
             ),
+            head_hidden=int(mc.get("head_hidden", 384)),
             head_dropout=float(mc.get("head_dropout", 0.5)),
             redshift=self.redshift,
             redshift_softplus=bool(mc.get("redshift_softplus", False)),
@@ -361,9 +362,13 @@ class SpectraNetTriPoolTask(Task):
         mc = dict(config["model"].get("SpectraNetTriPool", {}))
         self.mc = mc
         n_stages = len(mc.get("channels", (16, 32, 64, 128, 256)))
+        default_banks = SpectraNetTriPoolModule.kernel_sizes_per_stage
         self.module = SpectraNetTriPoolModule(
             channels=tuple(mc.get("channels", (16, 32, 64, 128, 256))),
             depths=tuple(mc.get("depths", (1,) * n_stages)),
+            kernel_sizes_per_stage=tuple(
+                tuple(k) for k in mc.get("kernel_sizes_per_stage", default_banks)
+            ),
             use_ln_stages=tuple(mc.get("use_ln_stages", (True,) * n_stages)),
             num_classes=int(mc.get("num_classes", 9)),
             conv_mode=str(mc.get("conv_mode", "auto")),

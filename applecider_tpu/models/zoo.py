@@ -44,7 +44,7 @@ from applecider_tpu.ops.conv1d import conv1d, max_pool1d
 from applecider_tpu.registry import register_model
 
 
-@register_model(name="BTSModel")
+
 class BTSModel(nn.Module):
     """BTSbot-style CNN over (B, H, W, C) cutout stacks."""
 
@@ -74,7 +74,7 @@ class BTSModel(nn.Module):
         return x.astype(jnp.float32)
 
 
-@register_model(name="GalSpecNet")
+
 class GalSpecNet(nn.Module):
     """Conv-ReLU[-MaxPool] 1-D chain over spectra (NLC layout)."""
 
@@ -103,9 +103,15 @@ class GalSpecNet(nn.Module):
             )
             bias = self.param(f"conv{i}_bias", nn.initializers.zeros,
                               (self.conv_channels[i + 1],))
-            y = conv1d(x, kernel, bias, mode="direct")
-            trim = self.kernel_size // 2
-            x = nn.relu(y[:, trim: y.shape[1] - trim if self.kernel_size % 2 else None])
+            # torch Conv1d default padding=0 (VALID): out length L-k+1.
+            # The former same-conv + trim was wrong for even k ('same'
+            # pads k//2 both sides, so length came out L+1 with shifted
+            # values); a direct VALID conv is exact for every k.
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), window_strides=(1,),
+                padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + bias
+            x = nn.relu(y)
             if i < n - 1:
                 x = max_pool1d(x, self.mp_kernel_size)
         x = x.reshape(x.shape[0], -1)
@@ -115,7 +121,7 @@ class GalSpecNet(nn.Module):
         return x.astype(jnp.float32)
 
 
-@register_model(name="MetaModel")
+
 class MetaModel(nn.Module):
     """AstroM3-style metadata MLP."""
 
@@ -214,7 +220,7 @@ class DistilConvLayer(nn.Module):
         return x.astype(self.dtype or jnp.float32)
 
 
-@register_model(name="Informer")
+
 class Informer(nn.Module):
     """Informer-style encoder classifier over event sequences.
 
@@ -316,7 +322,7 @@ class ViT(nn.Module):
         return LayerNorm(name="norm")(x[:, 0])
 
 
-@register_model(name="SpectraViT")
+
 class SpectraViT(nn.Module):
     """ViT backbone + MLP head over spectrogram-like 2-D spectra renders."""
 
@@ -473,7 +479,7 @@ class EfficientNetV2(nn.Module):
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
 
-@register_model(name="SpectraEfficientNetV2")
+
 class SpectraEfficientNetV2(nn.Module):
     """EfficientNetV2 spectra baseline.
 
@@ -522,7 +528,7 @@ class SpectraEfficientNetV2(nn.Module):
         return h.astype(jnp.float32)
 
 
-@register_model(name="SpectraConvNeXt")
+
 class SpectraConvNeXt(nn.Module):
     """ConvNeXt backbone spectra baseline (ConvNeXt-base dims by default)."""
 
@@ -538,3 +544,104 @@ class SpectraConvNeXt(nn.Module):
         if self.classification:
             feats = Linear(self.num_classes, name="fc")(feats)
         return feats.astype(jnp.float32)
+
+
+# --------------------------------------------------------------- Task glue
+# The zoo baselines are bare nn.Modules (the reference's counterparts live
+# in standalone archive scripts), but the model registry's only consumers
+# (train/runtime.py) require the Task interface — registering the raw
+# modules made `model.name = "GalSpecNet"` crash at task.to_tensor. Each
+# zoo name now registers a thin Task adapter: config section
+# [model.<Name>] supplies the module's dataclass fields (+ `lr`), batches
+# are (input, label) with the input pulled from the dataset dict by kind.
+def _zoo_task(module_cls, input_keys, task_name):
+    import dataclasses
+
+    import numpy as np
+    import optax
+
+    from applecider_tpu.models.base import Task, maybe_softmax
+    from applecider_tpu.ops.losses import cross_entropy
+
+    class _ZooTask(Task):
+        name = task_name
+
+        def __init__(self, config):
+            super().__init__(config)
+            mc = dict(config["model"].get(task_name, {}) or {})
+            self.mc = mc
+            fields = {f.name for f in dataclasses.fields(module_cls)}
+            kwargs = {k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in mc.items() if k in fields}
+            kwargs.setdefault("dtype", self.compute_dtype())
+            self.module = module_cls(**kwargs)
+            self.batch_stats = None
+
+        def init(self, rng, batch):
+            variables = self.module.init(
+                {"params": rng}, jnp.asarray(batch[0]), deterministic=True)
+            # BN running stats (SpectraEfficientNetV2): the Trainer treats
+            # batch_stats as frozen constants (same stance as the tri-pool
+            # import path) — train-mode BN normalizes with batch statistics
+            # but running averages stay at init/checkpoint values
+            self.batch_stats = variables.get("batch_stats")
+            return variables
+
+        def _vars(self, params):
+            if getattr(self, "batch_stats", None):
+                return {"params": params, "batch_stats": self.batch_stats}
+            return {"params": params}
+
+        def loss_fn(self, params, batch, rng, train: bool):
+            x, labels = batch[0], batch[1]
+            kw = dict(deterministic=not train)
+            if train:
+                kw["rngs"] = {"dropout": rng}
+            if train and getattr(self, "batch_stats", None):
+                logits, _ = self.module.apply(
+                    self._vars(params), x, mutable=["batch_stats"], **kw)
+            else:
+                logits = self.module.apply(self._vars(params), x, **kw)
+            loss = cross_entropy(logits, labels)
+            return loss, {"metrics": {"loss": loss}, "logits": logits}
+
+        def predict(self, params, batch):
+            logits = self.module.apply(
+                self._vars(params), batch[0], deterministic=True)
+            return maybe_softmax(
+                logits, bool(self.mc.get("use_probabilities", False)))
+
+        def make_optimizer(self):
+            return optax.adam(float(self.mc.get("lr", 1e-4)))
+
+        @staticmethod
+        def to_tensor(data_dict: dict):
+            data = data_dict["data"]
+            for key in input_keys:
+                if key in data:
+                    x = np.asarray(data[key], np.float32)
+                    break
+            else:
+                raise KeyError(
+                    f"{task_name} batch needs one of {input_keys}; "
+                    f"got keys {sorted(data)}")
+            labels = np.asarray(data.get("label", []), np.int64)
+            return (x, labels)
+
+    _ZooTask.__name__ = f"{task_name}Task"
+    return _ZooTask
+
+
+_SPEC_KEYS = ("flux", "spectrum", "spectra", "x")
+# the timm-style spectra baselines consume 2-D spectra RENDERS (images)
+_RENDER_KEYS = ("spectrum_image", "image", "x")
+for _name, _cls, _keys in (
+    ("BTSModel", BTSModel, ("image", "x")),
+    ("GalSpecNet", GalSpecNet, _SPEC_KEYS),
+    ("MetaModel", MetaModel, ("metadata", "meta19", "x")),
+    ("Informer", Informer, ("photometry", "events", "x")),
+    ("SpectraViT", SpectraViT, _RENDER_KEYS),
+    ("SpectraEfficientNetV2", SpectraEfficientNetV2, _RENDER_KEYS),
+    ("SpectraConvNeXt", SpectraConvNeXt, _RENDER_KEYS),
+):
+    register_model(name=_name)(_zoo_task(_cls, _keys, _name))

@@ -112,10 +112,13 @@ def pallas_masked_attention(
             # physical VMEM — 64 MB leaves room for double-buffered DMA
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
+        # CostEstimate describes the WHOLE op (all B//G grid programs),
+        # not one program — understating it by B/G skews XLA's scheduling
+        # around the hot op; q/k/v/out are bf16 (2 bytes), mask is bool
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * G * H * L * L * hd,
-            bytes_accessed=4 * G * H * L * hd * 4,
-            transcendentals=G * H * L * L,
+            flops=2 * 2 * B * H * L * L * hd,
+            bytes_accessed=4 * B * H * L * hd * 2 + B * L,
+            transcendentals=B * H * L * L,
         ),
     )(q, k, v, mask)
     return out

@@ -74,9 +74,13 @@ def cross_entropy(
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     if jnp.issubdtype(labels.dtype, jnp.floating) and labels.ndim == logits.ndim:
-        loss = -jnp.sum(labels * logp, axis=-1)
+        # torch semantics for probability targets: per-sample loss is
+        # -sum_c w_c * y_c * log p_c (NOT (-sum y*logp) * (sum y*w), which
+        # differs for genuinely soft targets), and 'mean' is the BATCH
+        # mean — weight-normalized mean applies only to class-index targets
         if weight is not None:
-            loss = loss * jnp.sum(labels * weight[None, :], axis=-1)
+            logp = logp * weight[None, :]
+        loss = -jnp.sum(labels * logp, axis=-1)
         return _reduce(loss, reduction)
     picked = jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     if weight is not None:

@@ -167,3 +167,54 @@ def test_spectra_convnext(rng):
     x = jnp.asarray(rng.normal(size=(2, 63, 63, 3)).astype(np.float32))
     params = m.init(jax.random.PRNGKey(0), x)["params"]
     assert m.apply({"params": params}, x).shape == (2, 9)
+
+
+def test_zoo_tasks_selectable_by_config_name():
+    """every zoo baseline is registered as a Task adapter: init + one
+    loss/grad step + predict through the registry, per model kind."""
+    import jax
+    import numpy as np
+
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.registry import get_model
+
+    rng = np.random.default_rng(0)
+    specs = {
+        "BTSModel": (rng.normal(size=(2, 63, 63, 3)).astype(np.float32),
+                     {"conv1_channels": 4, "conv2_channels": 4}),
+        "GalSpecNet": (rng.normal(size=(2, 64)).astype(np.float32),
+                       {"conv_channels": [1, 4, 4]}),
+        "MetaModel": (rng.normal(size=(2, 24)).astype(np.float32),
+                      {"hidden_dim": 8}),
+        # Informer consumes (B, L, 7) event sequences
+        "Informer": (rng.normal(size=(2, 24, 7)).astype(np.float32),
+                     {"d_model": 8, "n_heads": 2, "n_layers": 1}),
+        # the timm-style spectra baselines consume 2-D spectra renders
+        "SpectraViT": (rng.normal(size=(2, 64, 64, 3)).astype(np.float32),
+                       {"backbone_dim": 16, "backbone_depth": 1, "s_dim": 8}),
+        "SpectraEfficientNetV2": (
+            rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+            {"arch": "tiny", "s_dim": 8, "head_features": 16}),
+        "SpectraConvNeXt": (rng.normal(size=(2, 63, 63, 3)).astype(np.float32),
+                            {"depths": [1, 1], "dims": [4, 8]}),
+    }
+    labels = np.asarray([0, 1], np.int64)
+    for name, (x, overrides) in specs.items():
+        cfg = load_defaults()
+        for k, v in overrides.items():
+            cfg.set(f"model.{name}.{k}", v)
+        cfg.set("train.compute_dtype", "float32")
+        task = get_model(name)(cfg)
+        batch = task.to_tensor({"data": {"image": x, "flux": x,
+                                         "metadata": x, "x": x,
+                                         "label": labels}})
+        variables = task.init(jax.random.PRNGKey(0), batch)
+        loss, aux = task.loss_fn(variables["params"], batch,
+                                 jax.random.PRNGKey(1), True)
+        assert np.isfinite(float(loss)), name
+        grads = jax.grad(lambda p: task.loss_fn(
+            p, batch, jax.random.PRNGKey(1), True)[0])(variables["params"])
+        flat = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat), name
+        preds = task.predict(variables["params"], batch)
+        assert np.asarray(preds).shape[0] == 2, name
