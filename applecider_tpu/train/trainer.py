@@ -311,7 +311,9 @@ class Trainer:
         stopper = EarlyStopping(patience)
         best_metric = -np.inf
         history = []
+        last_epoch = start_epoch - 1
         for epoch in range(start_epoch, epochs):
+            last_epoch = epoch
             train_loader.set_epoch(epoch)
             t0 = time.time()
             losses = []
@@ -371,7 +373,10 @@ class Trainer:
                 self.save_checkpoint(state, epoch, tag="last")
             if should_stop:
                 break
-        self.save_checkpoint(state, epochs - 1, tag="last")
+        # record the epoch actually reached — after an early stop, stamping
+        # epochs-1 here would make a resume with a larger epoch budget skip
+        # the epochs that never ran
+        self.save_checkpoint(state, last_epoch, tag="last")
         return {"state": state, "history": history, "best_metric": best_metric}
 
     # ------------------------------------------------------------- evaluate

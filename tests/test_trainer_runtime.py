@@ -118,6 +118,36 @@ def test_ema_shadow_persisted_and_best_matches_validated(prepared, tmp_path):
     np.testing.assert_allclose(leaf(trainer2.ema.shadow), shadow, rtol=0, atol=0)
 
 
+def test_early_stop_last_checkpoint_records_reached_epoch(prepared, tmp_path):
+    """A run stopped at epoch e must stamp e (not epochs-1) into the 'last'
+    checkpoint — otherwise a resume with a larger epoch budget skips the
+    epochs that never ran."""
+    import jax
+
+    from applecider_tpu.train.trainer import Trainer, TrainState
+
+    rt = _runtime(prepared, tmp_path, epochs=5)
+    rt.prepare()
+    task = rt._task()
+    loader = rt._loader(rt.datasets["train"], shuffle=False)
+    trainer = Trainer(task, rt.config, tmp_path / "earlystop")
+
+    class StopAtEpoch1:
+        def report_and_maybe_prune(self, value, epoch):
+            return epoch >= 1
+
+    res = trainer.fit(loader, val_loader=loader, pruning_hook=StopAtEpoch1())
+    assert len(res["history"]) == 2  # epochs 0 and 1 ran, 2-4 did not
+
+    task2 = rt._task()
+    batch0 = task2.to_tensor(next(iter(loader)))
+    variables = task2.init(jax.random.PRNGKey(0), batch0)
+    trainer2 = Trainer(task2, rt.config, tmp_path / "earlystop")
+    fresh = TrainState(variables["params"], trainer2.tx.init(variables["params"]))
+    _, next_epoch = trainer2.restore_checkpoint(fresh)
+    assert next_epoch == 2  # resume continues at epoch 2, not epochs(5)
+
+
 def test_export_engine_roundtrip(prepared, tmp_path):
     rt = _runtime(prepared, tmp_path, epochs=1)
     rt.train()
