@@ -28,8 +28,14 @@ def _build() -> Optional[ctypes.CDLL]:
     if _build_failed:
         return None
     if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        # compile to a per-process temp path and os.replace into place:
+        # spawn-based preprocessing workers may race this build, and two
+        # g++ invocations writing the same output file corrupt it
+        import os
+
+        tmp_so = _SO.with_suffix(f".{os.getpid()}.tmp.so")
         base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                str(_SRC), "-o", str(_SO)]
+                str(_SRC), "-o", str(tmp_so)]
         # libdeflate's gzip decode is ~2-3x zlib's and inflate is ~90% of
         # the stamp-decode cost; try it first, fall back to zlib-only
         variants = [
@@ -48,7 +54,9 @@ def _build() -> Optional[ctypes.CDLL]:
         if last_err is not None:
             print(f"[native] build failed ({last_err}); falling back to NumPy decoder")
             _build_failed = True
+            tmp_so.unlink(missing_ok=True)
             return None
+        os.replace(tmp_so, _SO)
     lib = ctypes.CDLL(str(_SO))
     lib.acfits_decode_batch.restype = ctypes.c_int
     lib.acfits_decode_batch.argtypes = [

@@ -60,10 +60,16 @@ class ExperimentLogger:
                 print("[logger] wandb not installed; JSONL only")
 
     def log(self, record: dict, step: int | None = None):
-        payload = {
-            k: (float(v) if isinstance(v, (np.floating, jnp.ndarray)) else v)
-            for k, v in record.items()
-        }
+        def norm(v):
+            if isinstance(v, (np.integer,)):
+                return int(v)
+            if isinstance(v, (np.floating,)):
+                return float(v)
+            if isinstance(v, (np.ndarray, jnp.ndarray)):
+                return float(v) if np.ndim(v) == 0 or np.size(v) == 1 else np.asarray(v).tolist()
+            return v
+
+        payload = {k: norm(v) for k, v in record.items()}
         if step is not None:
             payload["step"] = step
         with open(self._file, "a") as f:
