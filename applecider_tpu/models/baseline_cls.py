@@ -50,7 +50,7 @@ class BaselineCLSEncoder(nn.Module):
     n_layers: int
     dropout: float
     dtype: Optional[jnp.dtype] = None
-    attn_impl: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
+    attn_impl: str = "auto"  # "auto" | "xla" | "flash" | "pallas" | "pallas_interpret"
     remat: object = False  # False | True | "attn" — see layers.TransformerEncoder
 
     @nn.compact
@@ -87,7 +87,7 @@ class BaselineCLSModule(nn.Module):
     dropout: float = 0.40
     classification: bool = True
     dtype: Optional[jnp.dtype] = None
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     remat: object = False  # False | True | "attn"
 
     @nn.compact
@@ -121,7 +121,7 @@ class BaselineCLSTask(Task):
             dropout=float(mc["dropout"]),
             classification=(mc.get("mode", "photo") == "photo"),
             dtype=self.compute_dtype(),
-            attn_impl=str(mc.get("attention_impl", "xla")),
+            attn_impl=str(mc.get("attention_impl", "auto")),
             remat=resolve_remat(mc.get("remat", "auto")),
         )
 

@@ -112,7 +112,7 @@ class AppleCiderTask(Task):
             d_model=int(pc["d_model"]), n_heads=int(pc["n_heads"]),
             n_layers=int(pc["n_layers"]), dropout=float(pc["dropout"]),
             classification=False, dtype=dtype,
-            attn_impl=str(pc.get("attention_impl", "xla")),
+            attn_impl=str(pc.get("attention_impl", "auto")),
             remat=resolve_remat(pc.get("remat", "auto")),
             name="photometry_encoder",
         )

@@ -100,7 +100,7 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
-    impl: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
+    impl: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_interpret" | "flash"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, *, deterministic: bool = True):
@@ -114,8 +114,41 @@ class MultiHeadSelfAttention(nn.Module):
             return t.reshape(B, L, H, head_dim).transpose(0, 2, 1, 3)  # (B,H,L,hd)
 
         q, k, v = heads(q), heads(k), heads(v)
-        use_pallas = self.impl.startswith("pallas") and (deterministic or self.dropout == 0.0)
-        if use_pallas:
+        # "auto" resolves at trace time: the fused flash train kernel on a
+        # single-chip TPU backend (on-chip A/B: b256 train step 122.2 ->
+        # 110.8 ms, b1024 685.7 -> 467.6 ms — tpu_results/
+        # flash_attn_check_r3.jsonl), XLA everywhere else.  Under a mesh the
+        # XLA path stays default for the same reason as the merge kernel
+        # (infer/stream._resolve_acmerge): pallas_call carries no SPMD
+        # partitioning rule, and replicating attention would defeat batch
+        # sharding.  L must fit a full (L, L) f32 tile in VMEM (<= 258).
+        impl = self.impl
+        if impl == "auto":
+            flash_ok = (
+                jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+                and L <= 258
+            )
+            impl = "flash" if flash_ok else "xla"
+        # "flash": fused Pallas attention+dropout for TRAIN steps — the
+        # (B, H, L, L) probs and the u8 dropout mask never touch HBM (the
+        # mask bits come from the TPU-core PRNG, regenerated in the
+        # backward). Eval/serving calls fall through to the XLA path below.
+        use_flash = (
+            impl == "flash" and not deterministic and self.dropout > 0.0
+        )
+        use_pallas = impl.startswith("pallas") and (deterministic or self.dropout == 0.0)
+        if use_flash:
+            from applecider_tpu.ops.flash_attention import flash_attention_train
+
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+            )
+            out = flash_attention_train(
+                q, k, v, key_padding_mask, seed, self.dropout
+            )
+        elif use_pallas:
             from applecider_tpu.ops.attention import pallas_masked_attention
 
             out = pallas_masked_attention(
@@ -159,7 +192,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.0
     activation: Callable = nn.relu
     dtype: Optional[jnp.dtype] = None
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic: bool = True):
@@ -198,7 +231,7 @@ class TransformerEncoder(nn.Module):
     dim_feedforward: int
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     remat: object = False  # False | True (full layer) | "attn" (selective)
 
     @nn.compact

@@ -97,7 +97,7 @@ class MPTModule(nn.Module):
     n_layers: int = 4
     dropout: float = 0.40
     dtype: Optional[jnp.dtype] = None
-    attn_impl: str = "xla"  # honor model.BaselineCLS.attention_impl too
+    attn_impl: str = "auto"  # honor model.BaselineCLS.attention_impl too
     remat: object = False  # False | True | "attn"
 
     @nn.compact
@@ -139,7 +139,7 @@ class MPTTask(Task):
             n_layers=int(mc["n_layers"]),
             dropout=float(mc["dropout"]),
             dtype=self.compute_dtype(),
-            attn_impl=str(mc.get("attention_impl", "xla")),
+            attn_impl=str(mc.get("attention_impl", "auto")),
             remat=resolve_remat(mc.get("remat", "auto")),
         )
 

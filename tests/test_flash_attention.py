@@ -1,0 +1,132 @@
+"""Flash attention (fused train-path attention+dropout) vs pure-JAX oracle.
+
+The TPU-core PRNG path cannot run on CPU, so these tests drive the
+injected-bits variant (`flash_attention_with_bits`, interpret mode) — the
+math is identical to the PRNG kernels, only the source of the u8 bits
+differs.  The on-chip validation of the PRNG path itself (export mask →
+replay through this path and the oracle) lives in
+`scripts/tpu_flash_attn_check.py`.
+
+Reference behavior: torch nn.MultiheadAttention(dropout=p) in the
+reference's photometry encoders (HyraxBaselineCLS.py) — key-padding mask,
+1/sqrt(hd) scaling, dropout applied to the softmax probabilities.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from applecider_tpu.ops.flash_attention import (
+    _drop_consts,
+    flash_attention_with_bits,
+)
+
+
+def _oracle(q, k, v, pad_mask, bits_u8, rate):
+    """Pure-JAX replica of the kernel semantics (additive -1e9 key mask,
+    FastDropout integer-threshold keep rule, inverted scale)."""
+    hd = q.shape[-1]
+    thresh, drop_scale = _drop_consts(rate)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        q.astype(jnp.float32),
+        k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(hd)
+    neg = jnp.where(pad_mask[:, None, None, :], -1e9, 0.0).astype(jnp.float32)
+    scores = scores + neg
+    p = jax.nn.softmax(scores, axis=-1)
+    keep = bits_u8.astype(jnp.uint32) >= jnp.uint32(thresh)
+    pd = jnp.where(keep, p * jnp.float32(drop_scale), 0.0)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", pd, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _inputs(rng, B=2, H=4, L=24, hd=16, rate=0.25):
+    q = jnp.asarray(rng.normal(size=(B, H, L, hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, L, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, L, hd)).astype(np.float32))
+    lengths = rng.integers(L // 2, L + 1, size=B)
+    pad = jnp.asarray(np.arange(L)[None, :] >= lengths[:, None])
+    bits = jnp.asarray(rng.integers(0, 256, size=(B, H, L, L), dtype=np.uint8))
+    mask_i32 = pad.astype(jnp.int32).reshape(B, 1, L)
+    return q, k, v, pad, mask_i32, bits, rate
+
+
+def test_flash_bits_forward_matches_oracle(rng):
+    q, k, v, pad, mask_i32, bits, rate = _inputs(rng)
+    ref = _oracle(q, k, v, pad, bits, rate)
+    out = flash_attention_with_bits(q, k, v, mask_i32, bits, rate, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_bits_forward_rate_zero(rng):
+    """rate=0 == plain masked attention (keep-all, scale 1)."""
+    q, k, v, pad, mask_i32, bits, _ = _inputs(rng, rate=0.0)
+    ref = _oracle(q, k, v, pad, bits, 0.0)
+    out = flash_attention_with_bits(q, k, v, mask_i32, bits, 0.0, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # and it really is the no-dropout softmax@V
+    plain = _oracle(q, k, v, pad, jnp.full_like(bits, 255), 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain), atol=1e-5)
+
+
+def test_flash_bits_gradients_match_oracle(rng):
+    """The hand-written recompute backward == autodiff through the oracle."""
+    q, k, v, pad, mask_i32, bits, rate = _inputs(rng, B=2, H=2, L=16, hd=8)
+    tgt = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+
+    def loss_kernel(q, k, v):
+        out = flash_attention_with_bits(q, k, v, mask_i32, bits, rate, True)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_oracle(q, k, v):
+        return jnp.sum((_oracle(q, k, v, pad, bits, rate) - tgt) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gk, go, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_bits_dropout_unbiased(rng):
+    """E[dropout(attn)] == attn when averaged over the bits distribution —
+    checks the integer-threshold inverted scale is exactly unbiased.
+
+    The n independent bit draws ride the batch axis of ONE kernel call
+    (identical q/k/v per row) — one trace instead of n interpret-mode
+    retraces."""
+    q, k, v, pad, mask_i32, _, _ = _inputs(rng, B=1, H=1, L=8, hd=4)
+    rate = 0.25  # thresh 64, scale 256/192
+    plain = _oracle(q, k, v, pad, jnp.full((1, 1, 8, 8), 255, jnp.uint8), 0.0)
+    n = 400
+    bit_rng = np.random.default_rng(7)
+    bits = jnp.asarray(bit_rng.integers(0, 256, size=(n, 1, 8, 8), dtype=np.uint8))
+    qn, kn, vn = (jnp.broadcast_to(t, (n, 1, 8, 4)) for t in (q, k, v))
+    mask_n = jnp.broadcast_to(mask_i32, (n, 1, 8))
+    out = flash_attention_with_bits(qn, kn, vn, mask_n, bits, rate, True)
+    mean = np.asarray(out).astype(np.float64).mean(axis=0, keepdims=True)
+    np.testing.assert_allclose(mean, np.asarray(plain), atol=0.15)
+
+
+def test_flash_eval_falls_through_to_xla(rng):
+    """impl='flash' in the layer is train-only: deterministic calls produce
+    the exact XLA-path output (flash never engages without dropout RNG)."""
+    from applecider_tpu.models.layers import MultiHeadSelfAttention
+
+    x = jnp.asarray(rng.normal(size=(2, 20, 32)).astype(np.float32))
+    mask = jnp.zeros((2, 20), bool)
+    m_xla = MultiHeadSelfAttention(4, 0.1, dtype=jnp.float32)
+    params = m_xla.init(jax.random.PRNGKey(0), x, mask)["params"]
+    ref = m_xla.apply({"params": params}, x, mask, deterministic=True)
+    m_fl = MultiHeadSelfAttention(4, 0.1, dtype=jnp.float32, impl="flash")
+    out = m_fl.apply({"params": params}, x, mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
