@@ -475,6 +475,7 @@ def run_bench(device) -> dict:
     # as scripts/tpu_train_probe.py so the persistent cache hits. Runs after
     # the serving columns: under a tight budget the headline components win.
     train_ms = train_rate = train_mfu = None
+    train_ms_b1024 = train_rate_b1024 = None
     if on_tpu and not over_budget() and os.environ.get("BENCH_SKIP_TRAIN") != "1":
         try:
             import optax
@@ -522,6 +523,25 @@ def run_bench(device) -> dict:
                 peak = next((v for k, v in PEAK_TFLOPS.items() if k in kind),
                             PEAK_TFLOPS["v5e"])
                 train_mfu = round(100.0 * tr_flops * train_rate / (peak * 1e12), 2)
+            # b1024: the large-batch step is where flash attention's VMEM
+            # recompute wins most (+47% in the commit A/B) — measure it when
+            # budget remains; its own try so an OOM cannot wipe the b256 row
+            try:
+                if not over_budget():
+                    tb2 = 1024
+                    batch2 = tuple(jax.device_put(np.asarray(x), device)
+                                   for x in _fusion_batch(tb2))
+                    _p, _o, loss = train_step(params, opt_state, batch2, rng)
+                    assert np.isfinite(float(np.asarray(loss)))
+                    t0 = time.perf_counter()
+                    for _ in range(4):
+                        _p, _o, loss = train_step(params, opt_state, batch2, rng)
+                    _ = float(np.asarray(loss))
+                    dt2 = (time.perf_counter() - t0) / 4
+                    train_ms_b1024 = round(dt2 * 1e3, 1)
+                    train_rate_b1024 = round(tb2 / dt2, 1)
+            except Exception:
+                train_ms_b1024 = train_rate_b1024 = None
         except Exception:
             train_ms = train_rate = train_mfu = None
 
@@ -679,6 +699,8 @@ def run_bench(device) -> dict:
         "train_step_ms_b256": train_ms,
         "train_alerts_per_sec": train_rate,
         "train_mfu_pct": train_mfu,
+        "train_step_ms_b1024": train_ms_b1024,
+        "train_alerts_per_sec_b1024": train_rate_b1024,
         "compile_seconds": round(compile_s, 1),
         "device": str(device),
     }
