@@ -555,18 +555,18 @@ def _resolve_acmerge(mesh, raw=None) -> str:
 
     ``ACMERGE`` env wins when set ("xla", "pallas", "pallas_interpret").
     Unset: the Pallas kernel (ops/merge_scan.py) is the default on a
-    single-device TPU backend — on-chip A/B measured it 2.2-3.6x faster
+    TPU backend — on-chip A/B measured it 2.2-3.6x faster
     than the XLA scan, oracle-exact (tpu_results/merge_scan_ab_r3.jsonl).
-    Under a mesh the XLA scan stays default: ``pallas_call`` carries no
-    SPMD partitioning rule here, and replicating the merge would defeat
-    batch sharding. ``raw`` (the forward's input tree, when available)
-    guards the eager-on-CPU case inside a TPU process — int8 calibration
-    runs the unjitted forward on CPU-placed arrays under
+    Under a mesh the kernel batch-shards via its Shardy
+    ``custom_partitioning`` rule (ops/merge_scan._sharded_seg_ids), so
+    the same default applies. ``raw`` (the forward's input tree, when
+    available) guards the eager-on-CPU case inside a TPU process — int8
+    calibration runs the unjitted forward on CPU-placed arrays under
     ``jax.default_device(cpu)``, where ``jax.default_backend()`` still
     says "tpu" but a Pallas TPU kernel cannot execute.
     """
     acmerge = os.environ.get("ACMERGE", "")
-    if acmerge or mesh is not None:
+    if acmerge:
         return acmerge
     try:
         for leaf in jax.tree.leaves(raw):
@@ -690,11 +690,11 @@ class AlertStreamPipeline:
         # with one batched program; on-chip A/B (tpu_results/
         # merge_scan_ab_r3.jsonl) measured 1.0 ms vs 2.2 ms (B=256, P=192)
         # and 1.7 ms vs 4.5 ms (B=1024, P=257), oracle-exact — so it is the
-        # DEFAULT on a single-device TPU. ACMERGE=xla forces the scan path;
+        # DEFAULT on a TPU backend. ACMERGE=xla forces the scan path;
         # ACMERGE=pallas forces the kernel anywhere (ACMERGE=pallas_interpret
-        # runs the kernel interpreter for CPU tests). Under a mesh the XLA
-        # scan remains the default: pallas_call has no SPMD partitioning
-        # rule here, and replicating the merge would defeat the sharding.
+        # runs the kernel interpreter for CPU tests). Under a mesh the kernel
+        # batch-shards via its Shardy custom_partitioning rule
+        # (ops/merge_scan._sharded_seg_ids), so the default holds there too.
         acmerge = _resolve_acmerge(self.mesh, raw)
         if acmerge.startswith("pallas"):
             from applecider_tpu.ops.merge_scan import seg_ids_pallas

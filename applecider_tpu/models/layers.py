@@ -115,20 +115,16 @@ class MultiHeadSelfAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         # "auto" resolves at trace time: the fused flash train kernel on a
-        # single-chip TPU backend (on-chip A/B: b256 train step 122.2 ->
-        # 110.8 ms, b1024 685.7 -> 467.6 ms — tpu_results/
-        # flash_attn_check_r3.jsonl), XLA everywhere else.  Under a mesh the
-        # XLA path stays default for the same reason as the merge kernel
-        # (infer/stream._resolve_acmerge): pallas_call carries no SPMD
-        # partitioning rule, and replicating attention would defeat batch
-        # sharding.  L must fit a full (L, L) f32 tile in VMEM (<= 258).
+        # TPU backend (on-chip A/B: b256 train step 122.2 -> 110.8 ms,
+        # b1024 685.7 -> 467.6 ms — tpu_results/flash_attn_check_r3.jsonl),
+        # XLA everywhere else.  Under a mesh the kernel carries a Shardy
+        # custom_partitioning rule (ops/flash_attention._sharded_prng):
+        # batch-dim passthrough, per-shard seed decorrelation, no
+        # collectives — each device runs the kernel on its local batch
+        # shard.  L must fit a full (L, L) f32 tile in VMEM (<= 258).
         impl = self.impl
         if impl == "auto":
-            flash_ok = (
-                jax.default_backend() == "tpu"
-                and jax.device_count() == 1
-                and L <= 258
-            )
+            flash_ok = jax.default_backend() == "tpu" and L <= 258
             impl = "flash" if flash_ok else "xla"
         # "flash": fused Pallas attention+dropout for TRAIN steps — the
         # (B, H, L, L) probs and the u8 dropout mask never touch HBM (the

@@ -48,6 +48,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e9
@@ -316,12 +317,16 @@ def _flash_fwd(q, k, v, mask_i32, seed, rate: float):
     B, H, L, hd = q.shape
     scale = 1.0 / math.sqrt(hd)
     thresh, drop_scale = _drop_consts(rate)
-    out = _prng_call(
-        _fwd_kernel_prng, q, k, v, mask_i32, seed,
-        out_shapes=jax.ShapeDtypeStruct((B, H, L, hd), q.dtype),
-        scale=scale, thresh=thresh, drop_scale=drop_scale,
-        cost=_fwd_cost(B, H, L, hd),
-    )
+    if jax.device_count() > 1:  # mesh-capable path (SPMD rule below)
+        out = _sharded_prng("fwd", scale, thresh, drop_scale)(
+            q, k, v, mask_i32, seed)
+    else:
+        out = _prng_call(
+            _fwd_kernel_prng, q, k, v, mask_i32, seed,
+            out_shapes=jax.ShapeDtypeStruct((B, H, L, hd), q.dtype),
+            scale=scale, thresh=thresh, drop_scale=drop_scale,
+            cost=_fwd_cost(B, H, L, hd),
+        )
     return out, (q, k, v, mask_i32, seed)
 
 
@@ -356,18 +361,105 @@ def _prng_call(kernel, q, k, v, mask_i32, seed, *, out_shapes, scale, thresh,
     )(seed, q, k, v, mask_i32, *extra_inputs)
 
 
+# ------------------------------------------------- SPMD partitioning rule
+#
+# ``pallas_call`` carries no SPMD rule, so by itself the kernel would force
+# a fully-replicated computation under a mesh (the reason round-3's first
+# cut gated flash to ``device_count() == 1``).  The batch/head pairs are
+# embarrassingly parallel, so a ``custom_partitioning`` wrapper declares the
+# Shardy rule "batch dim is passthrough, everything else replicated": under
+# ``pjit`` each device runs the kernel on its local batch shard and NO
+# collective is inserted.  The per-shard seed is offset by the linearized
+# index over the batch-sharding mesh axes so shards draw decorrelated
+# dropout streams (same contract as the single-chip path: only the keep
+# distribution is contractual, not the stream).  Engaged only when
+# ``jax.device_count() > 1`` — the measured single-chip path is untouched.
+
+
+def _offset_seed(seed, batch_spec, mesh):
+    """seed + linearized shard index over the batch-sharding axes (wraps i32)."""
+    if not batch_spec:
+        return seed
+    names = (batch_spec,) if isinstance(batch_spec, str) else tuple(batch_spec)
+    idx = None
+    for n in names:
+        i = jax.lax.axis_index(n)
+        idx = i if idx is None else idx * mesh.shape[n] + i
+    return seed + idx.astype(jnp.int32) * jnp.int32(-1640531527)  # odd const
+
+
+def _prng_invoke(kind: str, q, k, v, mask_i32, seed, extra, *, scale, thresh,
+                 drop_scale):
+    """Shape-derived dispatch to the fwd/bwd PRNG kernels (local shapes)."""
+    B, H, L, hd = q.shape
+    shp = jax.ShapeDtypeStruct((B, H, L, hd), q.dtype)
+    if kind == "fwd":
+        kernel, out_shapes, cost = _fwd_kernel_prng, shp, _fwd_cost(B, H, L, hd)
+    else:
+        kernel, out_shapes, cost = (_bwd_kernel_prng, (shp, shp, shp),
+                                    _bwd_cost(B, H, L, hd))
+    return _prng_call(kernel, q, k, v, mask_i32, seed, out_shapes=out_shapes,
+                      scale=scale, thresh=thresh, drop_scale=drop_scale,
+                      cost=cost, extra_inputs=extra)
+
+
+_PRNG_RULE_IN = "b h l d, b h l d, b h l d, b m l, s"
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_prng(kind: str, scale: float, thresh: int, drop_scale: float):
+    """custom_partitioning wrapper for the PRNG kernels (batch passthrough)."""
+
+    @custom_partitioning
+    def call(q, k, v, mask_i32, seed, *extra):
+        return _prng_invoke(kind, q, k, v, mask_i32, seed, extra, scale=scale,
+                            thresh=thresh, drop_scale=drop_scale)
+
+    def infer(mesh, arg_shapes, shape):
+        s = arg_shapes[0].sharding
+        return s if kind == "fwd" else (s, s, s)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = jax.tree.map(lambda a: a.sharding, tuple(arg_shapes))
+        out_shardings = jax.tree.map(lambda r: r.sharding, result_shape)
+        q_spec = arg_shardings[0].spec
+        batch_spec = q_spec[0] if len(q_spec) else None
+
+        def lower_fn(q, k, v, mask_i32, seed, *extra):
+            seed = _offset_seed(seed, batch_spec, mesh)
+            return _prng_invoke(kind, q, k, v, mask_i32, seed, extra,
+                                scale=scale, thresh=thresh,
+                                drop_scale=drop_scale)
+
+        return mesh, lower_fn, out_shardings, arg_shardings
+
+    rule_out = "b h l d" if kind == "fwd" else "b h l d, b h l d, b h l d"
+    rule_in = _PRNG_RULE_IN + (", b h l d" if kind == "bwd" else "")
+    call.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=f"{rule_in} -> {rule_out}",
+        need_replication_factors=("h", "l", "d", "m", "s"),
+    )
+    return call
+
+
 def _flash_bwd(rate: float, res, g_out):
     q, k, v, mask_i32, seed = res
     B, H, L, hd = q.shape
     scale = 1.0 / math.sqrt(hd)
     thresh, drop_scale = _drop_consts(rate)
-    shp = jax.ShapeDtypeStruct((B, H, L, hd), q.dtype)
-    dq, dk, dv = _prng_call(
-        _bwd_kernel_prng, q, k, v, mask_i32, seed,
-        out_shapes=(shp, shp, shp),
-        scale=scale, thresh=thresh, drop_scale=drop_scale,
-        cost=_bwd_cost(B, H, L, hd), extra_inputs=(g_out,),
-    )
+    if jax.device_count() > 1:  # mesh-capable path (SPMD rule above)
+        dq, dk, dv = _sharded_prng("bwd", scale, thresh, drop_scale)(
+            q, k, v, mask_i32, seed, g_out)
+    else:
+        shp = jax.ShapeDtypeStruct((B, H, L, hd), q.dtype)
+        dq, dk, dv = _prng_call(
+            _bwd_kernel_prng, q, k, v, mask_i32, seed,
+            out_shapes=(shp, shp, shp),
+            scale=scale, thresh=thresh, drop_scale=drop_scale,
+            cost=_bwd_cost(B, H, L, hd), extra_inputs=(g_out,),
+        )
     return dq, dk, dv, _float0(mask_i32), _float0(seed)
 
 
@@ -431,16 +523,83 @@ def _bits_call(kernel, q, k, v, mask_i32, bits_u8, *, out_shapes, scale,
     )(q, k, v, mask_i32, bits_u8, *extra_inputs)
 
 
+def _bits_invoke(kind: str, q, k, v, mask_i32, bits_u8, extra, *, scale,
+                 thresh, drop_scale, interpret):
+    """Shape-derived dispatch to the fwd/bwd bits kernels (local shapes)."""
+    B, H, L, hd = q.shape
+    shp = jax.ShapeDtypeStruct((B, H, L, hd), q.dtype)
+    if kind == "fwd":
+        kernel, out_shapes, cost = _fwd_kernel_bits, shp, _fwd_cost(B, H, L, hd)
+    else:
+        kernel, out_shapes, cost = (_bwd_kernel_bits, (shp, shp, shp),
+                                    _bwd_cost(B, H, L, hd))
+    return _bits_call(kernel, q, k, v, mask_i32, bits_u8,
+                      out_shapes=out_shapes, scale=scale, thresh=thresh,
+                      drop_scale=drop_scale, cost=cost, interpret=interpret,
+                      extra_inputs=extra)
+
+
+_BITS_RULE_IN = "b h l d, b h l d, b h l d, b m l, b h l e"
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_bits(kind: str, scale: float, thresh: int, drop_scale: float,
+                  interpret: bool):
+    """custom_partitioning wrapper for the injected-bits kernels.
+
+    Same Shardy rule as :func:`_sharded_prng` (batch passthrough, everything
+    else replicated); the bits tensor shards with the batch.  No seed to
+    offset — the caller supplies the full bits tensor, which pjit slices.
+    This is the CPU-mesh test proxy for the PRNG path's partitioning rule
+    (``tests/test_flash_attention.py``).
+    """
+
+    @custom_partitioning
+    def call(q, k, v, mask_i32, bits_u8, *extra):
+        return _bits_invoke(kind, q, k, v, mask_i32, bits_u8, extra,
+                            scale=scale, thresh=thresh,
+                            drop_scale=drop_scale, interpret=interpret)
+
+    def infer(mesh, arg_shapes, shape):
+        s = arg_shapes[0].sharding
+        return s if kind == "fwd" else (s, s, s)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = jax.tree.map(lambda a: a.sharding, tuple(arg_shapes))
+        out_shardings = jax.tree.map(lambda r: r.sharding, result_shape)
+
+        def lower_fn(q, k, v, mask_i32, bits_u8, *extra):
+            return _bits_invoke(kind, q, k, v, mask_i32, bits_u8, extra,
+                                scale=scale, thresh=thresh,
+                                drop_scale=drop_scale, interpret=interpret)
+
+        return mesh, lower_fn, out_shardings, arg_shardings
+
+    rule_out = "b h l d" if kind == "fwd" else "b h l d, b h l d, b h l d"
+    rule_in = _BITS_RULE_IN + (", b h l d" if kind == "bwd" else "")
+    call.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=f"{rule_in} -> {rule_out}",
+        need_replication_factors=("h", "l", "d", "m", "e"),
+    )
+    return call
+
+
 def _bits_fwd(q, k, v, mask_i32, bits_u8, rate: float, interpret: bool):
     B, H, L, hd = q.shape
     scale = 1.0 / math.sqrt(hd)
     thresh, drop_scale = _drop_consts(rate)
-    out = _bits_call(
-        _fwd_kernel_bits, q, k, v, mask_i32, bits_u8,
-        out_shapes=jax.ShapeDtypeStruct((B, H, L, hd), q.dtype),
-        scale=scale, thresh=thresh, drop_scale=drop_scale,
-        cost=_fwd_cost(B, H, L, hd), interpret=interpret,
-    )
+    if jax.device_count() > 1:  # mesh-capable path (SPMD rule above)
+        out = _sharded_bits("fwd", scale, thresh, drop_scale, interpret)(
+            q, k, v, mask_i32, bits_u8)
+    else:
+        out = _bits_call(
+            _fwd_kernel_bits, q, k, v, mask_i32, bits_u8,
+            out_shapes=jax.ShapeDtypeStruct((B, H, L, hd), q.dtype),
+            scale=scale, thresh=thresh, drop_scale=drop_scale,
+            cost=_fwd_cost(B, H, L, hd), interpret=interpret,
+        )
     return out, (q, k, v, mask_i32, bits_u8)
 
 
@@ -449,14 +608,19 @@ def _bits_bwd(rate: float, interpret: bool, res, g_out):
     B, H, L, hd = q.shape
     scale = 1.0 / math.sqrt(hd)
     thresh, drop_scale = _drop_consts(rate)
-    shp = jax.ShapeDtypeStruct((B, H, L, hd), q.dtype)
-    dq, dk, dv = _bits_call(
-        _bwd_kernel_bits, q, k, v, mask_i32, bits_u8,
-        out_shapes=(shp, shp, shp),
-        scale=scale, thresh=thresh, drop_scale=drop_scale,
-        cost=_bwd_cost(B, H, L, hd), interpret=interpret,
-        extra_inputs=(g_out,),
-    )
+    if jax.device_count() > 1:  # mesh-capable path (SPMD rule above)
+        dq, dk, dv = _sharded_bits("bwd", scale, thresh, drop_scale,
+                                   interpret)(q, k, v, mask_i32, bits_u8,
+                                              g_out)
+    else:
+        shp = jax.ShapeDtypeStruct((B, H, L, hd), q.dtype)
+        dq, dk, dv = _bits_call(
+            _bwd_kernel_bits, q, k, v, mask_i32, bits_u8,
+            out_shapes=(shp, shp, shp),
+            scale=scale, thresh=thresh, drop_scale=drop_scale,
+            cost=_bwd_cost(B, H, L, hd), interpret=interpret,
+            extra_inputs=(g_out,),
+        )
     return dq, dk, dv, _float0(mask_i32), _float0(bits_u8)
 
 

@@ -20,8 +20,9 @@ On-chip validated (round 3, ``tpu_results/merge_scan_ab_r3.jsonl``):
 oracle-exact at (B=256, P=192), (1024, 192), (1024, 257) and 2.2-2.6x
 faster than the XLA scan path (1.0 ms vs 2.2 ms at B=256; 1.7 ms vs
 4.5 ms at B=1024/P=257) — so the fused stream defaults to this kernel on
-a single-device TPU (``ACMERGE=xla`` reverts; under a mesh the XLA scan
-stays default since ``pallas_call`` carries no SPMD partitioning rule).
+a TPU backend (``ACMERGE=xla`` reverts). Under a mesh the call routes
+through a Shardy ``custom_partitioning`` rule (batch passthrough, P
+replicated — no collectives), same pattern as ``ops/flash_attention``.
 Because this environment has produced two real XLA TPU miscompiles
 (docs/KERNEL_NOTES.md), the kernel ships with an exact-equivalence test
 suite (interpret mode on CPU) and a validation-first A/B script
@@ -79,7 +80,19 @@ def seg_ids_pallas(t_sorted: jax.Array, band: jax.Array, valid: jax.Array,
     band (B, P) int32 in [0, 3); valid (B, P) bool. Returns (B, P) int32
     ``seg_ids`` — identical to the XLA scan path's
     ``where(valid, latest_start_of_own_band, P)``.
+
+    With more than one device visible the call routes through a Shardy
+    ``custom_partitioning`` rule (batch passthrough, P replicated) so the
+    kernel batch-shards under a mesh — same pattern as
+    ``ops/flash_attention``; the single-device program is untouched.
     """
+    if jax.device_count() > 1:
+        return _sharded_seg_ids(float(dt_days), bool(interpret))(
+            t_sorted, band, valid)
+    return _seg_ids_impl(t_sorted, band, valid, dt_days, interpret)
+
+
+def _seg_ids_impl(t_sorted, band, valid, dt_days: float, interpret: bool):
     B, P = t_sorted.shape
     Bp = -(-B // _LANES) * _LANES
     if Bp != B:
@@ -104,6 +117,39 @@ def seg_ids_pallas(t_sorted: jax.Array, band: jax.Array, valid: jax.Array,
         interpret=interpret,
     )(t_t, band_t, valid_t)
     return out.T[:B]
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_seg_ids(dt_days: float, interpret: bool):
+    """Shardy custom_partitioning wrapper: batch dim passthrough, P
+    replicated — each device sweeps the recurrence over its local batch
+    shard with no collectives.  The per-shard lane padding happens inside
+    ``_seg_ids_impl`` on local shapes."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def call(t_sorted, band, valid):
+        return _seg_ids_impl(t_sorted, band, valid, dt_days, interpret)
+
+    def infer(mesh, arg_shapes, shape):
+        return arg_shapes[0].sharding
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = jax.tree.map(lambda a: a.sharding, tuple(arg_shapes))
+        out_sharding = result_shape.sharding
+
+        def lower_fn(t_sorted, band, valid):
+            return _seg_ids_impl(t_sorted, band, valid, dt_days, interpret)
+
+        return mesh, lower_fn, out_sharding, arg_shardings
+
+    call.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b p, b p, b p -> b p",
+        need_replication_factors=("p",),
+    )
+    return call
 
 
 def seg_ids_scan_reference(t_sorted, band, valid, dt_days: float = 0.5):

@@ -134,6 +134,38 @@ def main():
         d = float(np.max(np.abs(a - b)))
         emit(check=f"bwd_bit_replay_d{name}_max_abs", value=d, ok=bool(d == 0.0))
 
+    # ---------------- phase 2.5: SPMD rule smoke on a 1-device TPU mesh
+    # (the rig has one chip, so this validates that the custom_partitioning
+    # wrapper lowers + runs the PRNG kernels on TPU and is bit-identical to
+    # the direct path; the >1-shard slicing logic is CPU-mesh-tested in
+    # tests/test_flash_attention.py through the injected-bits twin)
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from applecider_tpu.ops.flash_attention import _sharded_prng
+
+    scale = 1.0 / math.sqrt(hd)
+    mesh1 = Mesh(np.array([dev]).reshape(1), ("data",))
+    sh4 = NamedSharding(mesh1, P("data", None, None, None))
+    sh3 = NamedSharding(mesh1, P("data", None, None))
+    sh1 = NamedSharding(mesh1, P(None))
+    qm, km, vm, gm = (jax.device_put(t, sh4) for t in (q, k, v, g_out))
+    mm = jax.device_put(mask_i32, sh3)
+    sm = jax.device_put(seed, sh1)
+    out_mesh = jax.jit(_sharded_prng("fwd", scale, thresh, drop_scale))(
+        qm, km, vm, mm, sm)
+    d_mesh = float(np.max(np.abs(
+        np.asarray(out_mesh).astype(np.float32) - out_prng_np)))
+    emit(check="spmd_fwd_1dev_mesh_vs_direct_max_abs", value=d_mesh,
+         ok=bool(d_mesh == 0.0))
+    gmesh = jax.jit(_sharded_prng("bwd", scale, thresh, drop_scale))(
+        qm, km, vm, mm, sm, gm)
+    for name, a, b in zip("qkv", gmesh, gp):
+        d = float(np.max(np.abs(np.asarray(a).astype(np.float32)
+                                - np.asarray(b).astype(np.float32))))
+        emit(check=f"spmd_bwd_1dev_mesh_d{name}_max_abs", value=d,
+             ok=bool(d == 0.0))
+
     # ---------------- phase 3: full fusion train step A/B
     import optax
     from __graft_entry__ import _fusion_batch

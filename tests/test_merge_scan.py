@@ -79,14 +79,31 @@ def test_pallas_out_of_range_band_matches_reference(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_seg_ids_under_mesh_matches_unsharded(rng):
+    """The Shardy custom_partitioning rule: batch-sharded pjit execution ==
+    the unsharded kernel, exactly (interpret mode on the CPU mesh)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    t, band, valid = _case(rng, 128, 48)
+    ref = np.asarray(seg_ids_pallas(t, band, valid, dt_days=0.5, interpret=True))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    sh = NamedSharding(mesh, P("data", None))
+    ts, bs, vs = (jax.device_put(x, sh) for x in (t, band, valid))
+    got = jax.jit(
+        lambda a, b, c: seg_ids_pallas(a, b, c, dt_days=0.5, interpret=True)
+    )(ts, bs, vs)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
 def test_resolve_acmerge_defaults(monkeypatch):
-    """Pallas is the default only on single-device TPU; env always wins."""
+    """Pallas is the TPU default (single-device AND mesh); env always wins."""
     import applecider_tpu.infer.stream as stream
 
     monkeypatch.delenv("ACMERGE", raising=False)
     monkeypatch.setattr(stream.jax, "default_backend", lambda: "tpu")
     assert stream._resolve_acmerge(None) == "pallas"
-    assert stream._resolve_acmerge(object()) == ""  # mesh -> XLA scan
+    assert stream._resolve_acmerge(object()) == "pallas"  # mesh: SPMD rule
     monkeypatch.setattr(stream.jax, "default_backend", lambda: "cpu")
     assert stream._resolve_acmerge(None) == ""
     monkeypatch.setenv("ACMERGE", "xla")
