@@ -13,6 +13,7 @@ bias) so training dynamics are comparable even without ported weights.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional
 
@@ -70,6 +71,61 @@ class Linear(nn.Module):
         return y
 
 
+# LayerNorm autodiff saves f32 (B, L, C) residuals for the backward — on
+# the b256 train step the post-flash-attention trace attributes ~30 ms/step
+# to f32[256,3481,192]/[256,870,*] LN-chain fusions in SpectraNet's early
+# stages.  The custom VJP below saves only (x in its own dtype, mean, inv)
+# and recomputes xhat inside the backward fusion, so nothing f32 and
+# (B, L, C)-sized survives the forward.  Math is the standard exact LN
+# backward; unit-tested against autodiff (tests/test_bf16_training.py).
+# ``ACLN=autodiff`` reverts to plain autodiff (A/B knob, read at trace time).
+_LN_IMPL = None  # None = read env; A/B scripts set layers._LN_IMPL directly
+
+
+def _ln_impl() -> str:
+    if _LN_IMPL is not None:
+        return _LN_IMPL
+    import os
+
+    return os.environ.get("ACLN", "vjp")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ln_apply(x, scale, bias, eps):
+    y, _ = _ln_fwd_res(x, scale, bias, eps)
+    return y
+
+
+def _ln_norm(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return (xf - mean) * inv * scale + bias, mean, inv
+
+
+def _ln_fwd_res(x, scale, bias, eps):
+    y, mean, inv = _ln_norm(x, scale, bias, eps)
+    return y, (x, mean, inv, scale)
+
+
+def _ln_bwd(eps, res, g):
+    x, mean, inv, scale = res
+    xhat = (x.astype(jnp.float32) - mean) * inv  # recomputed, fuses into bwd
+    g = g.astype(jnp.float32)
+    red = tuple(range(g.ndim - 1))
+    dscale = jnp.sum(g * xhat, axis=red)
+    dbias = jnp.sum(g, axis=red)
+    gs = g * scale
+    m1 = jnp.mean(gs, axis=-1, keepdims=True)
+    m2 = jnp.mean(gs * xhat, axis=-1, keepdims=True)
+    dx = (inv * (gs - m1 - xhat * m2)).astype(x.dtype)
+    return dx, dscale, dbias
+
+
+_ln_apply.defvjp(_ln_fwd_res, _ln_bwd)
+
+
 class LayerNorm(nn.Module):
     """torch LayerNorm over the last dim (default eps 1e-5), computed in f32."""
 
@@ -79,13 +135,12 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        y = y * scale + bias
+        if _ln_impl() == "vjp":
+            y = _ln_apply(x, scale, bias, self.eps)
+        else:  # plain autodiff (identical forward math)
+            y, _, _ = _ln_norm(x, scale, bias, self.eps)
         return y.astype(self.dtype or orig_dtype)
 
 

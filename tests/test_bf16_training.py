@@ -49,3 +49,37 @@ def test_bf16_s2d_conv_grad_traces():
 
     g = jax.grad(loss)(w)
     assert np.all(np.isfinite(np.asarray(g, np.float32)))
+
+
+def test_layernorm_custom_vjp_matches_autodiff():
+    """The memory-lean LN custom VJP (saves x/mean/inv, recomputes xhat in
+    the backward) must produce the same forward and the same grads as plain
+    autodiff through the same math — tight in f32, bf16-tolerance in bf16."""
+    import jax.numpy as jnp
+
+    from applecider_tpu.models import layers
+
+    rng = np.random.default_rng(11)
+    for dtype, atol in ((jnp.float32, 1e-6), (jnp.bfloat16, 2e-2)):
+        x = jnp.asarray(rng.normal(size=(4, 33, 192)).astype(np.float32),
+                        dtype=dtype)
+        scale = jnp.asarray(rng.normal(1.0, 0.1, 192).astype(np.float32))
+        bias = jnp.asarray(rng.normal(0.0, 0.1, 192).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(4, 33, 192)).astype(np.float32))
+
+        def loss_vjp(x, s, b):
+            return jnp.sum(layers._ln_apply(x, s, b, 1e-5) * g)
+
+        def loss_ad(x, s, b):
+            return jnp.sum(layers._ln_norm(x, s, b, 1e-5)[0] * g)
+
+        y_vjp = layers._ln_apply(x, scale, bias, 1e-5)
+        y_ad = layers._ln_norm(x, scale, bias, 1e-5)[0]
+        np.testing.assert_allclose(np.asarray(y_vjp), np.asarray(y_ad),
+                                   atol=1e-6)
+        gv = jax.grad(loss_vjp, argnums=(0, 1, 2))(x, scale, bias)
+        ga = jax.grad(loss_ad, argnums=(0, 1, 2))(x, scale, bias)
+        for a, b, name in zip(gv, ga, ("dx", "dscale", "dbias")):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=atol, rtol=1e-4, err_msg=f"{name} ({dtype})")
