@@ -117,9 +117,15 @@ class SpectraBlock(nn.Module):
             for i, k in enumerate(self.kernel_sizes)
         ]
         x = jnp.concatenate(feats, axis=-1)
-        # use_ln=False (BatchNorm in the reference) is not supported on the
-        # TPU path: the reference defaults are all-LN and BN's running stats
-        # don't fit the functional training step. LN is always applied.
+        # use_ln=False (BatchNorm in the reference, spectranet.py:21) is not
+        # supported on the TPU path: the reference defaults are all-LN and
+        # BN's running stats don't fit the functional training step. Fail
+        # loudly instead of silently substituting different semantics.
+        if not self.use_ln:
+            raise NotImplementedError(
+                "SpectraBlock(use_ln=False) (reference BatchNorm mode) is not "
+                "supported; the TPU build is LayerNorm-only"
+            )
         x = LayerNorm(name="norm")(x)
         x = gelu_exact(x)
         if self.dtype is not None:

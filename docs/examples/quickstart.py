@@ -91,5 +91,7 @@ def main(root: Path):
 
 
 if __name__ == "__main__":
-    target = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(tempfile.mkdtemp())
+    # --smoke (CI): run in a throwaway tempdir; the corpus is tiny either way
+    args = [a for a in sys.argv[1:] if a != "--smoke"]
+    target = Path(args[0]) if args else Path(tempfile.mkdtemp())
     main(target)

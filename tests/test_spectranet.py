@@ -118,3 +118,17 @@ def test_to_tensor_channel_first():
     flux = np.ones((2, 1, 16), np.float32)
     out = SpectraNetTask.to_tensor({"data": {"flux": flux, "label": [0, 1], "redshift": [0.1, 0.2]}})
     assert out[0].shape == (2, 16)
+
+
+def test_use_ln_false_raises():
+    """The base SpectraNet is LayerNorm-only (reference default,
+    spectranet.py:21); asking for the BatchNorm mode must fail loudly, not
+    silently apply LN (VERDICT r3 weak #7)."""
+    import pytest
+
+    from applecider_tpu.models.spectranet import SpectraBlock
+
+    block = SpectraBlock(out_channels=4, kernel_sizes=(3,), use_ln=False)
+    x = jnp.zeros((2, 16, 1), jnp.float32)
+    with pytest.raises(NotImplementedError, match="use_ln=False"):
+        block.init(jax.random.PRNGKey(0), x)
