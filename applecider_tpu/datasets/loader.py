@@ -25,13 +25,26 @@ class DataLoader:
         seed: int = 42,
         drop_last: bool = False,
         prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """``num_shards``/``shard_index``: multi-host striding — each host
+        reads every ``num_shards``-th sample of the (identically seeded)
+        global permutation, so the union over hosts is the single-host
+        epoch exactly once. Defaults are a single-host no-op; the Trainer
+        passes ``jax.process_count()/process_index()`` when
+        ``parallel.multihost.enable`` is set (parallel/multihost.py)."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.seed = int(seed)
         self.drop_last = drop_last
         self.prefetch = int(prefetch)
+        self.num_shards = int(num_shards)
+        self.shard_index = int(shard_index)
+        if not (0 <= self.shard_index < self.num_shards):
+            raise ValueError(
+                f"shard_index {shard_index} outside [0, {num_shards})")
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -39,6 +52,8 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.num_shards > 1:  # this host's share of the strided epoch
+            n = (n - self.shard_index + self.num_shards - 1) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -49,6 +64,11 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            # every host shuffles the same global permutation (same seed),
+            # then takes its stride — disjoint cover, no coordination
+            idx = idx[self.shard_index::self.num_shards]
+            n = len(idx)
         batches = [idx[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()

@@ -58,12 +58,19 @@ class AppleCiderRuntime:
 
     def _loader(self, dataset, shuffle: bool) -> DataLoader:
         dl = self.config.section("data_loader")
+        # multi-host: each process reads its stride of the epoch
+        # (parallel/multihost.py; no-op at process_count 1)
+        from applecider_tpu.parallel.multihost import maybe_initialize
+
+        pid, pcount = maybe_initialize(self.config)
         return DataLoader(
             dataset,
             batch_size=int(dl.get("batch_size", 32)),
             shuffle=shuffle and bool(dl.get("shuffle", True)),
             seed=int(dl.get("seed", 42)),
             drop_last=bool(dl.get("drop_last", False)),
+            num_shards=pcount,
+            shard_index=pid,
         )
 
     # ---------------------------------------------------------------- verbs

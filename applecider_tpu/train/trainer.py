@@ -29,7 +29,8 @@ import numpy as np
 import optax
 
 from applecider_tpu.ops.metrics import classification_report
-from applecider_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from applecider_tpu.parallel.mesh import make_mesh, replicate
+from applecider_tpu.parallel.multihost import host_local_batch_to_global
 from applecider_tpu.train.optim import (
     EMA,
     EarlyStopping,
@@ -59,6 +60,12 @@ class Trainer:
         self.config = config
         self.workdir = Path(workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
+        # multi-host hook: initialize jax.distributed BEFORE the mesh is
+        # built so jax.devices() is the GLOBAL device set (no-op unless
+        # parallel.multihost.enable; see parallel/multihost.py)
+        from applecider_tpu.parallel.multihost import maybe_initialize
+
+        self.process_index, self.process_count = maybe_initialize(config)
         if mesh is None:
             shape = tuple(config.get_path("parallel.mesh_shape", default=[-1, 1]))
             axes = tuple(config.get_path("parallel.mesh_axes", default=["data", "model"]))
@@ -318,7 +325,7 @@ class Trainer:
             t0 = time.time()
             losses = []
             for host_batch in train_loader:
-                batch = shard_batch(self.task.to_tensor(host_batch), self.mesh)
+                batch = host_local_batch_to_global(self.task.to_tensor(host_batch), self.mesh)
                 rng, step_rng = jax.random.split(rng)
                 state.params, state.opt_state, metrics = self._train_step(
                     state.params, state.opt_state, batch, step_rng
@@ -387,7 +394,7 @@ class Trainer:
             self._eval_step = self._build_eval_step()
         probs, labels, losses, sizes = [], [], [], []
         for host_batch in loader:
-            batch = shard_batch(self.task.to_tensor(host_batch), self.mesh)
+            batch = host_local_batch_to_global(self.task.to_tensor(host_batch), self.mesh)
             loss, p = self._eval_step(params, batch)
             raw_labels = np.asarray(batch[-1])
             losses.append(float(loss))
@@ -408,6 +415,6 @@ class Trainer:
         params = replicate(params, self.mesh)
         out = []
         for host_batch in loader:
-            batch = shard_batch(self.task.to_tensor(host_batch), self.mesh)
+            batch = host_local_batch_to_global(self.task.to_tensor(host_batch), self.mesh)
             out.append(np.asarray(self.task.predict(params, batch)))
         return np.concatenate(out)

@@ -222,3 +222,31 @@ def test_fused_stream_sharded_matches_single():
     assert placed["spec_wl"].sharding.is_fully_replicated
     got = fused.run_placed(params, placed)()
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_stream_mesh_pallas_interpret(monkeypatch):
+    """VERDICT r3 #4: force the PALLAS merge kernel (interpret mode) through
+    FusedSpectraStream on the 8-CPU mesh, so the kernel's Shardy
+    custom_partitioning rule executes inside the full serving program — not
+    only in the kernel-level unit test. Outputs must equal the XLA path."""
+    from applecider_tpu.infer.stream import FusedSpectraStream
+
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _fusion_batch, _fusion_task
+    from bench import make_stream_samples
+
+    task = _fusion_task(tiny=True, compute_dtype="float32")
+    params = task.init(jax.random.PRNGKey(0), _fusion_batch(4, tiny=True))["params"]
+    grid = np.linspace(4500.0, 7980.0, 128).astype(np.float32)
+    samples = make_stream_samples(16, seed=11, spectrum_frac=0.4)
+
+    monkeypatch.delenv("ACMERGE", raising=False)
+    ref = FusedSpectraStream(task, wave_grid=grid)(
+        params, samples, length_buckets=(32, 64))
+
+    monkeypatch.setenv("ACMERGE", "pallas_interpret")
+    mesh = make_mesh(shape=(8, 1))
+    fused = FusedSpectraStream(task, wave_grid=grid, mesh=mesh)
+    got = fused(params, samples, length_buckets=(32, 64))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
