@@ -69,14 +69,20 @@ def _keep_mask(bits_u32, thresh: int):
 
 
 def _fwd_pair(q, k, v, neg, keep, drop_scale: float, out_dtype):
-    """Attention forward for one (batch, head): all f32 math in VMEM.
+    """Attention forward for one (batch, head): f32 softmax math in VMEM.
 
     q: (L, hd) f32 ALREADY scaled by 1/sqrt(hd); k/v: (L, hd) refs' dtype;
     neg: (1, L) f32 additive key mask; keep: (L, L) bool or None.
     Returns (out (L, hd) out_dtype).
+
+    The QK^T matmul runs with OPERANDS in the I/O dtype and f32
+    accumulation: in bf16 mode that is the MXU's native bf16xbf16->f32
+    path (an f32xf32 matmul runs at ~1/4 rate via multi-pass — measured
+    4x self-time on the b256 train trace before this change); in f32 mode
+    nothing changes, preserving the CPU oracle's exact semantics.
     """
     scores = jax.lax.dot_general(
-        q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        q.astype(k.dtype), k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + neg
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -98,10 +104,12 @@ def _bwd_pair(q_scaled, k, v, neg, keep, drop_scale: float, do, scale: float,
     """Gradients for one (batch, head) pair; recomputes the forward tile.
 
     Returns (dq, dk, dv) in io_dtype. q_scaled is q * 1/sqrt(hd) in f32.
+    The scores recompute uses I/O-dtype operands with f32 accumulation —
+    identical numerics to the forward's matmul (see _fwd_pair), which the
+    bit-replay contract requires.
     """
-    kf = k.astype(jnp.float32)
     scores = jax.lax.dot_general(
-        q_scaled, kf, (((1,), (1,)), ((), ())),
+        q_scaled.astype(k.dtype), k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + neg
     m = jnp.max(scores, axis=-1, keepdims=True)
