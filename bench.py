@@ -520,8 +520,10 @@ def run_bench(device) -> None:
                 train_alerts_per_sec=round(tb / dt, 1),
                 train_mfu_pct=(round(100.0 * tr_flops * (tb / dt) / (peak * 1e12), 2)
                                if tr_flops else None))
-        # b1024: flash attention's VMEM recompute wins most at large batch
-        if not FAST and _remaining() > 180:
+        # b1024: flash attention's VMEM recompute wins most at large batch;
+        # runs in FAST mode too when the deadline leaves room (the r3 JSON
+        # shipped null here — VERDICT r3 #2 asked for the measurement)
+        if _remaining() > 240:
             tb2 = 1024
             batch2 = tuple(jax.device_put(np.asarray(x), device)
                            for x in _fusion_batch(tb2))
