@@ -1105,7 +1105,8 @@ class FusedSpectraStream:
     """
 
     def __init__(self, task,
-                 spec_buckets=(0, 4, 8, 16, 32, 64, 96, 128, 192, 256, 384, 512),
+                 spec_buckets=(0, 4, 8, 16, 32, 64, 96, 112, 128, 192, 256,
+                               320, 384, 512),
                  max_spec: int = 512, **pipeline_kw):
         self.pipe = AlertStreamPipeline(task, compact_spectra=True, **pipeline_kw)
         self.spec_buckets = tuple(sorted(spec_buckets))
