@@ -52,8 +52,8 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.num_shards > 1:  # this host's share of the strided epoch
-            n = (n - self.shard_index + self.num_shards - 1) // self.num_shards
+        if self.num_shards > 1:  # common shard length (see _batch_indices)
+            n = n // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -66,9 +66,15 @@ class DataLoader:
             rng.shuffle(idx)
         if self.num_shards > 1:
             # every host shuffles the same global permutation (same seed),
-            # then takes its stride — disjoint cover, no coordination
-            idx = idx[self.shard_index::self.num_shards]
-            n = len(idx)
+            # then takes its stride — disjoint cover, no coordination.
+            # Truncate to the COMMON shard length: shard sizes differing
+            # by one would give hosts different batch shapes/counts, and a
+            # process dispatching a collective step the others never enter
+            # deadlocks the pod (up to num_shards-1 samples dropped per
+            # epoch; the shuffle rotates which ones each epoch).
+            common = n // self.num_shards
+            idx = idx[self.shard_index::self.num_shards][:common]
+            n = common
         batches = [idx[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()

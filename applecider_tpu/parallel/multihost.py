@@ -19,9 +19,16 @@ runtime, so ``enable = true`` alone usually suffices. The Trainer then:
 
 * builds its mesh over ``jax.devices()`` (GLOBAL devices);
 * strides the ``DataLoader`` by process (``num_shards=process_count()``,
-  ``shard_index=process_index()``) so each host reads only its slice;
+  ``shard_index=process_index()``) — every host truncates to the common
+  shard length, so all processes run the SAME number of identically-shaped
+  steps (a divergent step count deadlocks SPMD collectives);
 * assembles global arrays from per-host shards via
-  ``host_local_batch_to_global`` (``jax.make_array_from_process_local_data``).
+  ``host_local_batch_to_global`` (``jax.make_array_from_process_local_data``);
+* all-gathers per-host eval outputs (``allgather_host_rows``) so every
+  process computes identical metrics and takes identical early-stop /
+  plateau / best-checkpoint decisions;
+* broadcasts the run-directory name from process 0
+  (``broadcast_str``) so orbax's collective save sees one shared path.
 
 Everything is a no-op at ``process_count() == 1`` (unit-tested), so the
 single-host path never pays for the hook.
@@ -38,9 +45,11 @@ _INITIALIZED = False
 def maybe_initialize(config=None) -> tuple[int, int]:
     """Initialize jax.distributed from ``parallel.multihost`` config.
 
-    Returns ``(process_index, process_count)``. Safe to call repeatedly;
-    a no-op unless ``parallel.multihost.enable`` is true and the runtime
-    isn't already initialized.
+    Returns ``(process_index, process_count)``. Safe to call repeatedly
+    and safe to call after the backend is live: if the runtime refuses to
+    (re-)initialize but is already serving a healthy process group, the
+    live values win; the error propagates only when the runtime is
+    genuinely unusable.
     """
     global _INITIALIZED
     enable = bool(config.get_path("parallel.multihost.enable", default=False)) \
@@ -55,11 +64,22 @@ def maybe_initialize(config=None) -> tuple[int, int]:
             kw[key] = val
     try:
         jax.distributed.initialize(**kw)
+        _INITIALIZED = True
     except RuntimeError as e:
-        # already initialized (e.g. by a launcher) — use the live runtime
-        if "already" not in str(e).lower():
-            raise
-    _INITIALIZED = True
+        # Two recoverable shapes: "already initialized" (a launcher beat
+        # us to it) and "must be called before any JAX computations" (the
+        # backend is live — e.g. a bench ran first). In both, the live
+        # runtime is authoritative; re-raise only if it is unusable.
+        try:
+            idx, cnt = jax.process_index(), jax.process_count()
+        except Exception:
+            raise e from None
+        import warnings
+
+        warnings.warn(
+            f"jax.distributed.initialize skipped ({e}); using the live "
+            f"runtime (process {idx}/{cnt})", stacklevel=2)
+        _INITIALIZED = True
     return jax.process_index(), jax.process_count()
 
 
@@ -71,14 +91,37 @@ def process_count() -> int:
     return jax.process_count()
 
 
+def _batch_dim(batch) -> int:
+    """The batch size: the most common leading dim over array leaves.
+
+    Batch tensors (photometry, masks, images, labels, ...) dominate any
+    ``to_tensor`` output; broadcast leaves (feature-stat vectors) are the
+    minority — a majority vote is robust where a bare divisibility check
+    is not (a (4,)-stats vector on a 4-process mesh must NOT be
+    concatenated into a garbage (16,) global array).
+    """
+    from collections import Counter
+
+    dims = Counter(
+        np.asarray(x).shape[0]
+        for x in jax.tree.leaves(batch)
+        if np.asarray(x).ndim >= 1 and np.asarray(x).shape[0] > 0
+    )
+    return dims.most_common(1)[0][0] if dims else 0
+
+
 def host_local_batch_to_global(batch, mesh, axis: str = "data"):
     """Assemble global sharded arrays from per-host local batches.
 
     Single-process: plain ``shard_batch`` (identical behavior, no-op hook).
-    Multi-process: each host passes its LOCAL slice of the global batch
-    (len = global_batch / process_count); dim-0-shardable leaves go through
-    ``jax.make_array_from_process_local_data``; the rest (stats vectors,
-    scalars) replicate.
+    Multi-process: each host passes its LOCAL slice of the global batch;
+    leaves whose leading dim is the batch dim go through
+    ``jax.make_array_from_process_local_data``; the rest (feature-stat
+    vectors — identical on every host because they come from the shared
+    train-stats files) replicate. A batch whose global rows don't divide
+    the mesh's data axis raises instead of silently replicating divergent
+    per-host data (replicated sharding asserts equality; set
+    ``data_loader.drop_last`` or a divisible batch size).
     """
     from applecider_tpu.parallel.mesh import batch_sharding, shard_batch
 
@@ -88,13 +131,73 @@ def host_local_batch_to_global(batch, mesh, axis: str = "data"):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.shape[axis]
+    local_b = _batch_dim(batch)
+    global_b = local_b * jax.process_count()
+    if local_b and global_b % n:
+        raise ValueError(
+            f"local batch {local_b} x {jax.process_count()} processes = "
+            f"{global_b} global rows, not divisible by the {n}-way "
+            f"'{axis}' mesh axis; use data_loader.drop_last or a "
+            "divisible batch size (uneven batches cannot shard, and "
+            "replicating divergent per-host data is silently wrong)")
 
     def put(x):
         x = np.asarray(x)
-        global_rows = x.shape[0] * jax.process_count() if x.ndim >= 1 else 0
-        if x.ndim >= 1 and x.shape[0] > 0 and global_rows % n == 0:
+        if x.ndim >= 1 and x.shape[0] == local_b and local_b > 0:
             return jax.make_array_from_process_local_data(
                 batch_sharding(mesh, x.ndim, axis), x)
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree.map(put, batch)
+
+
+def local_rows(garr) -> np.ndarray:
+    """This process's rows of a dim-0-sharded global array, in order.
+
+    Single-process: plain materialization. Multi-process:
+    ``np.asarray`` on an array spanning non-addressable devices raises,
+    so assemble the host's addressable shards sorted by their global row
+    offset — with ``make_array_from_process_local_data`` placement these
+    are exactly (and in the order of) the rows this host fed in.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(garr)
+    shards = sorted(
+        garr.addressable_shards,
+        key=lambda s: s.index[0].start if s.index and s.index[0].start else 0,
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def allgather_host_rows(arr: np.ndarray) -> np.ndarray:
+    """Concatenate per-host row blocks across processes (axis 0).
+
+    Single-process: identity. Multi-process: every host receives the
+    row-concatenation over all processes (process order), so eval metrics
+    computed from the result are identical everywhere — divergent
+    early-stop / plateau / best-checkpoint decisions would otherwise
+    deadlock the SPMD step dispatch.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(
+        np.asarray(arr), tiled=True))
+
+
+def broadcast_str(value: str, max_len: int = 256) -> str:
+    """Broadcast a short string from process 0 to all processes.
+
+    Used for the timestamped run-directory name: every process must hand
+    orbax the SAME path or its collective save diverges.
+    """
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, np.uint8)
+    raw = value.encode()[:max_len]
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out[out > 0]).decode()

@@ -84,6 +84,12 @@ class AppleCiderRuntime:
 
     def _new_run_dir(self, verb: str) -> Path:
         stamp = _dt.datetime.now().strftime("%Y%m%d-%H%M%S-%f")
+        # multi-host: every process must use ONE run dir (orbax's save is
+        # a cross-process collective on a shared path) — process 0's
+        # microsecond stamp wins; no-op at one process
+        from applecider_tpu.parallel.multihost import broadcast_str
+
+        stamp = broadcast_str(stamp)
         name = str(self.config.get_path("model.name", default="model")).split(".")[-1]
         run_dir = self.workdir / f"{stamp}-{verb}-{name}"
         run_dir.mkdir(parents=True, exist_ok=True)

@@ -392,29 +392,46 @@ class Trainer:
         self._invalidate_steps_if_stats_changed()
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
+        from applecider_tpu.parallel.multihost import (allgather_host_rows,
+                                                       local_rows)
+
         probs, labels, losses, sizes = [], [], [], []
         for host_batch in loader:
-            batch = host_local_batch_to_global(self.task.to_tensor(host_batch), self.mesh)
+            tensors = self.task.to_tensor(host_batch)
+            # labels come from the HOST-LOCAL tensors (pre-sharding):
+            # np.asarray on a pod-global array spanning other hosts'
+            # devices raises; the loss scalar is replicated so it is safe
+            raw_labels = np.asarray(tensors[-1])
+            batch = host_local_batch_to_global(tensors, self.mesh)
             loss, p = self._eval_step(params, batch)
-            raw_labels = np.asarray(batch[-1])
             losses.append(float(loss))
             sizes.append(len(raw_labels))
             if p is not None:
-                probs.append(np.asarray(p))
+                probs.append(local_rows(p)[: len(raw_labels)])
             labels.append(raw_labels.argmax(-1) if raw_labels.ndim > 1 else raw_labels)
         sizes = np.asarray(sizes, np.float64)
         mean_loss = float(np.average(np.asarray(losses), weights=sizes))
         if not probs:  # regression / pretraining tasks expose no logits
             return {"loss": mean_loss}
-        report = classification_report(np.concatenate(probs), np.concatenate(labels))
+        # all-gather across hosts: every process computes IDENTICAL metrics,
+        # so early-stop / plateau / best-checkpoint control flow cannot
+        # diverge (a single divergent epoch loop deadlocks the pod)
+        report = classification_report(
+            allgather_host_rows(np.concatenate(probs)),
+            allgather_host_rows(np.concatenate(labels)))
         report = {k: v for k, v in report.items() if not isinstance(v, (dict, np.ndarray))}
         report["loss"] = mean_loss
         return report
 
     def predict(self, params, loader) -> np.ndarray:
+        from applecider_tpu.parallel.multihost import (allgather_host_rows,
+                                                       local_rows)
+
         params = replicate(params, self.mesh)
         out = []
         for host_batch in loader:
-            batch = host_local_batch_to_global(self.task.to_tensor(host_batch), self.mesh)
-            out.append(np.asarray(self.task.predict(params, batch)))
-        return np.concatenate(out)
+            tensors = self.task.to_tensor(host_batch)
+            n_local = len(np.asarray(tensors[-1]))
+            batch = host_local_batch_to_global(tensors, self.mesh)
+            out.append(local_rows(self.task.predict(params, batch))[:n_local])
+        return allgather_host_rows(np.concatenate(out))

@@ -50,9 +50,10 @@ PEAK_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0, "v4": 275.0, "v5p": 459.0, "v6e
 
 T0 = time.perf_counter()
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "720"))
-# FAST (default): headline components + p50 + train b256 + decode.
-# BENCH_FAST=0 adds: monolithic sustained, frozen p50, b1024 train,
-# model-only batch sweep.
+# FAST (default) runs every standard column: headline components, train
+# b256 (+ b1024 when >240s of deadline remain), p50, frac-0.1 / ZTF-mix
+# binned, decode + raw-stamps sustained, sustained-routed, model-only.
+# BENCH_FAST=0 additionally runs: monolithic sustained, frozen p50.
 FAST = os.environ.get("BENCH_FAST", "1") == "1"
 
 _LOCK = threading.Lock()
@@ -497,6 +498,10 @@ def run_bench(device) -> None:
                       for x in _fusion_batch(tb))
         # mirror the Trainer's train.rng_impl="auto" (rbg on TPU)
         rng = jax.random.key(1, impl="rbg" if on_tpu else "threefry2x32")
+        # cost analysis via AOT, but the TIMED loop dispatches through jit:
+        # Compiled.__call__ goes through Python argument processing every
+        # call and measured 133.7 vs 108.2 ms/step on this rig; the jitted
+        # fn's second "compile" is a cheap in-process/persistent-cache hit
         tr_flops = None
         try:
             ca = timed_compile(lambda: train_step.lower(
@@ -558,7 +563,9 @@ def run_bench(device) -> None:
             flops = float(ca.get("flops", 0.0)) / bs
         except Exception:
             pass
-        _block(forward(params, *args))  # warm
+        _block(forward(params, *args))  # warm (jit's fast dispatch path;
+        # the AOT `compiled` object is kept for cost_analysis only — its
+        # Python-side call path measures slower than jit dispatch here)
         it = 30 if on_tpu else 5
         t0 = time.perf_counter()
         out = None

@@ -158,9 +158,14 @@ def main():
           flush=True)
     results = {}
     # two interleaved rounds: the relay's run-to-run variance is ~2x, so
-    # only same-run, repeated A/Bs mean anything; keep the min per mode
-    for mode in ("full", "batched4", "batched8", "full", "batched4",
-                 "batched8"):
+    # only same-run, repeated A/Bs mean anything; keep the min per mode.
+    # The batched* modes (pair-batched dot_general) are opt-in via argv:
+    # they SIGABRT the Mosaic compile helper on this toolchain (recorded
+    # in flash_microab_r4.jsonl / KERNEL_NOTES round-4 section).
+    ladder = ["full", "no_prng", "matmul_only"]
+    if "--batched" in sys.argv:
+        ladder += ["batched4", "batched8"]
+    for mode in ladder * 2:
         ms = run(mode, dev)
         results[mode] = min(results.get(mode, 1e9), ms)
     with open("/root/repo/tpu_results/flash_microab_r4.jsonl", "a") as fh:
