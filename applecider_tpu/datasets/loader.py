@@ -45,6 +45,23 @@ class DataLoader:
         if not (0 <= self.shard_index < self.num_shards):
             raise ValueError(
                 f"shard_index {shard_index} outside [0, {num_shards})")
+        if self.num_shards > 1 and not self.drop_last:
+            common = len(dataset) // self.num_shards
+            if common % self.batch_size:
+                # a partial final batch would hit the global-divisibility
+                # ValueError in host_local_batch_to_global mid-epoch (a
+                # config error surfaced mid-training); fail at startup by
+                # auto-enabling drop_last with a notice instead. Trainer
+                # .predict recovers the dropped rows via shard_emit_plan.
+                import warnings
+
+                warnings.warn(
+                    f"multi-host loader: common shard length {common} is not "
+                    f"a multiple of batch_size {self.batch_size}; enabling "
+                    "drop_last so every process runs identically-shaped "
+                    "steps (dropped rows are recovered by predict())",
+                    stacklevel=2)
+                self.drop_last = True
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -58,12 +75,41 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batch_indices(self) -> list[np.ndarray]:
-        n = len(self.dataset)
-        idx = np.arange(n)
+    def _permutation(self) -> np.ndarray:
+        """The (identically seeded across hosts) epoch permutation."""
+        idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
+        return idx
+
+    def _shard_slice(self, idx: np.ndarray, shard: int) -> np.ndarray:
+        """Indices shard ``shard`` emits this epoch (drop_last applied)."""
+        common = len(idx) // self.num_shards
+        out = idx[shard::self.num_shards][:common]
+        if self.drop_last:
+            out = out[: (len(out) // self.batch_size) * self.batch_size]
+        return out
+
+    def shard_emit_plan(self) -> dict:
+        """What every shard will emit on the NEXT ``__iter__`` (no state
+        change): ``{"per_shard": [np.ndarray, ...], "leftover": np.ndarray}``.
+
+        ``per_shard[s]`` is shard ``s``'s dataset indices in emission order;
+        ``leftover`` is the indices no shard emits (common-length truncation
+        + drop_last). Deterministic across hosts (same seed/epoch), which is
+        what lets ``Trainer.predict`` invert the multi-host row permutation
+        and recover the dropped tail (ADVICE r4 medium)."""
+        idx = self._permutation()
+        per_shard = [self._shard_slice(idx, s) for s in range(self.num_shards)]
+        emitted = np.concatenate(per_shard) if per_shard else np.empty(0, np.int64)
+        mask = np.ones(len(idx), bool)
+        mask[emitted] = False
+        return {"per_shard": per_shard, "leftover": np.flatnonzero(mask)}
+
+    def _batch_indices(self) -> list[np.ndarray]:
+        n = len(self.dataset)
+        idx = self._permutation()
         if self.num_shards > 1:
             # every host shuffles the same global permutation (same seed),
             # then takes its stride — disjoint cover, no coordination.
@@ -72,9 +118,8 @@ class DataLoader:
             # process dispatching a collective step the others never enter
             # deadlocks the pod (up to num_shards-1 samples dropped per
             # epoch; the shuffle rotates which ones each epoch).
-            common = n // self.num_shards
-            idx = idx[self.shard_index::self.num_shards][:common]
-            n = common
+            idx = self._shard_slice(idx, self.shard_index)
+            n = len(idx)
         batches = [idx[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()

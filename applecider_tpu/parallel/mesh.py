@@ -66,9 +66,23 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree over the mesh."""
+    """Fully replicate a pytree over the mesh.
+
+    Multi-process: a committed single-device jax.Array cannot device_put
+    onto a mesh spanning non-addressable devices (the CPU/TPU backends
+    refuse cross-host copies); every process holds an identical local copy
+    (same seeded init / same orbax restore), so route through host memory
+    and let each process place its own replica.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    multi = jax.process_count() > 1
+
+    def put(x):
+        if multi and isinstance(x, jax.Array):
+            x = np.asarray(x)
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, tree)
 
 
 def expert_sharding_rules(params: dict, mesh: Mesh, axis: str = "model") -> dict:

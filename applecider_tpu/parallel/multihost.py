@@ -74,6 +74,17 @@ def maybe_initialize(config=None) -> tuple[int, int]:
             idx, cnt = jax.process_index(), jax.process_count()
         except Exception:
             raise e from None
+        want = kw.get("num_processes")
+        if want is not None and int(want) > 1 and cnt != int(want):
+            # the config EXPLICITLY asked for a pod of `want` processes;
+            # continuing at cnt==1 would silently train the full dataset
+            # independently per host under divergent run dirs (ADVICE r4)
+            raise RuntimeError(
+                f"jax.distributed.initialize failed ({e}) and the live "
+                f"runtime reports {cnt} processes where the config demands "
+                f"num_processes={want}; refusing to degrade to independent "
+                "single-process runs — check coordinator_address/process_id"
+            ) from e
         import warnings
 
         warnings.warn(
@@ -162,10 +173,27 @@ def local_rows(garr) -> np.ndarray:
     """
     if jax.process_count() == 1:
         return np.asarray(garr)
-    shards = sorted(
-        garr.addressable_shards,
-        key=lambda s: s.index[0].start if s.index and s.index[0].start else 0,
-    )
+    dim0 = garr.shape[0] if garr.ndim else 0
+
+    def span(s):
+        sl = s.index[0] if s.index else slice(None)
+        return (sl.start or 0, dim0 if sl.stop is None else sl.stop)
+
+    shards = sorted(garr.addressable_shards, key=lambda s: span(s)[0])
+    # Guard the dim-0-sharded precondition: if XLA replicated the output
+    # (no pinned out_shardings), every addressable shard is a FULL copy and
+    # the concatenation would yield duplicated rows misaligned with this
+    # host's labels on hosts > 0 (ADVICE r4). Overlapping spans mean the
+    # array is not dim-0 sharded — refuse instead of returning garbage.
+    prev_stop = 0
+    for s in shards:
+        start, stop = span(s)
+        if start < prev_stop:
+            raise ValueError(
+                "local_rows: global array is not dim-0 sharded (addressable "
+                f"shard spans overlap near row {start}; likely a replicated "
+                "output — pin out_shardings=batch_sharding on the jit)")
+        prev_stop = stop
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 

@@ -93,9 +93,10 @@ class AppleCiderRuntime:
         name = str(self.config.get_path("model.name", default="model")).split(".")[-1]
         run_dir = self.workdir / f"{stamp}-{verb}-{name}"
         run_dir.mkdir(parents=True, exist_ok=True)
-        (run_dir / "run.json").write_text(
-            json.dumps({"verb": verb, "model": name, "timestamp": stamp})
-        )
+        if jax.process_index() == 0:  # shared dir: one writer
+            (run_dir / "run.json").write_text(
+                json.dumps({"verb": verb, "model": name, "timestamp": stamp})
+            )
         return run_dir
 
     def _latest_run_dir(self) -> Path:
@@ -145,7 +146,8 @@ class AppleCiderRuntime:
         params, trainer, loader = self._restore_latest_params(task)
         out_dir = self._new_run_dir("infer")
         preds = trainer.predict(params, loader)
-        np.save(out_dir / "predictions.npy", preds)
+        if jax.process_index() == 0:  # every process holds identical rows
+            np.save(out_dir / "predictions.npy", preds)
         return preds
 
     # ------------------------------------------------------------- export

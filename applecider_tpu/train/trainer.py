@@ -270,6 +270,10 @@ class Trainer:
 
     # -------------------------------------------------------------- logging
     def _log(self, record: dict):
+        if jax.process_index() != 0:
+            # every process computes identical metrics (allgathered); only
+            # one may append to the shared metrics.jsonl or lines duplicate
+            return
         record = {k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
                   for k, v in record.items()}
         with open(self._log_file, "a") as f:
@@ -424,14 +428,56 @@ class Trainer:
         return report
 
     def predict(self, params, loader) -> np.ndarray:
+        """Per-sample predictions over ``loader``'s dataset, in DATASET ROW
+        ORDER when the loader is strided (multi-host).
+
+        Multi-host, the naive gather would return [host0's strided samples,
+        host1's, ...] and silently drop the common-truncation/drop_last
+        tail — consumers align ``predictions.npy`` with dataset rows, so
+        that ordering is wrong (ADVICE r4). The strided plan is
+        deterministic (``DataLoader.shard_emit_plan``): invert it, and
+        recompute the dropped tail replicated on every host."""
         from applecider_tpu.parallel.multihost import (allgather_host_rows,
                                                        local_rows)
 
         params = replicate(params, self.mesh)
+        # engage only when the final all-gather really spans the shards:
+        # single-process tests fake num_shards>1, where rows covers just
+        # this shard and inverting the full plan would misalign
+        multi = (int(getattr(loader, "num_shards", 1)) > 1
+                 and jax.process_count() == int(loader.num_shards))
+        plan = loader.shard_emit_plan() if multi else None
         out = []
         for host_batch in loader:
             tensors = self.task.to_tensor(host_batch)
             n_local = len(np.asarray(tensors[-1]))
             batch = host_local_batch_to_global(tensors, self.mesh)
             out.append(local_rows(self.task.predict(params, batch))[:n_local])
-        return allgather_host_rows(np.concatenate(out))
+        rows = allgather_host_rows(np.concatenate(out))
+        if plan is None:
+            return rows
+        order = np.concatenate(plan["per_shard"])
+        leftover = plan["leftover"]
+        full = np.empty((order.size + leftover.size, *rows.shape[1:]), rows.dtype)
+        full[order] = rows
+        if leftover.size:
+            full[leftover] = self._predict_replicated(
+                params, loader.dataset, leftover)
+        return full
+
+    def _predict_replicated(self, params, dataset, indices) -> np.ndarray:
+        """Predict ``indices`` with every host feeding the SAME rows.
+
+        Per-sample outputs mean every host's local block holds identical
+        values, so no gather is needed; rows pad to a multiple of the data
+        axis so the global batch shards evenly (pad rows sliced off)."""
+        from applecider_tpu.parallel.multihost import local_rows
+
+        n_axis = int(self.mesh.shape.get("data", 1))
+        idx = [int(i) for i in indices]
+        pad = (-len(idx)) % max(n_axis, 1)
+        samples = [dataset.sample(i) for i in idx] + \
+                  [dataset.sample(idx[0])] * pad
+        tensors = self.task.to_tensor(dataset.collate(samples))
+        batch = host_local_batch_to_global(tensors, self.mesh)
+        return local_rows(self.task.predict(params, batch))[: len(idx)]

@@ -172,3 +172,40 @@ def test_flash_eval_falls_through_to_xla(rng):
     m_fl = MultiHeadSelfAttention(4, 0.1, dtype=jnp.float32, impl="flash")
     out = m_fl.apply({"params": params}, x, mask, deterministic=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_flash_bits_bf16_matches_f32_oracle(rng):
+    """bf16-mode kernel vs the f32 oracle, fwd AND grads (ADVICE r4).
+
+    The kernel's QK^T casts the f32-scaled q to the I/O dtype so bf16 mode
+    rides the MXU's native bf16xbf16->f32 path — a real numerics change vs
+    f32 operands. This pins the bf16 accuracy envelope so future kernel
+    edits can't silently degrade it: bf16 has an 8-bit mantissa, so per-op
+    relative error ~2^-8 and a few e-2 absolute after the L-length sums.
+    """
+    q, k, v, pad, mask_i32, bits, rate = _inputs(rng, B=2, H=2, L=16, hd=8)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ref = _oracle(q, k, v, pad, bits, rate)
+
+    out = flash_attention_with_bits(qb, kb, vb, mask_i32, bits, rate, True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=4e-2, rtol=4e-2)
+
+    tgt = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+
+    def loss_kernel(q, k, v):
+        out = flash_attention_with_bits(q, k, v, mask_i32, bits, rate, True)
+        return jnp.sum((out.astype(jnp.float32) - tgt) ** 2)
+
+    def loss_oracle(q, k, v):
+        return jnp.sum((_oracle(q, k, v, pad, bits, rate) - tgt) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(qb, kb, vb)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gk, go, "qkv"):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b)
+        # grads sum over L and square the bf16 rounding; scale-relative bound
+        denom = max(float(np.abs(b).max()), 1e-6)
+        assert np.max(np.abs(a - b)) / denom < 8e-2, f"d{name} mismatch"

@@ -66,14 +66,20 @@ def test_host_local_batch_equals_shard_batch_single_process():
 
 def test_loader_shards_equal_length_disjoint_cover():
     """Every shard sees the SAME number of identically-sized batches (a
-    divergent step count deadlocks pod collectives); shards are disjoint
-    and cover all but at most num_shards-1 samples per epoch."""
+    divergent step count deadlocks pod collectives); shards are disjoint.
+    A common shard length not divisible by batch_size auto-enables
+    drop_last with a warning (ADVICE r4: the divisibility error would
+    otherwise surface mid-epoch in host_local_batch_to_global); the
+    dropped rows are exactly shard_emit_plan()'s leftover."""
+    import pytest
+
     ds = _Toy(37)
-    loaders = [
-        DataLoader(ds, batch_size=4, shuffle=True, seed=5,
-                   num_shards=4, shard_index=s)
-        for s in range(4)
-    ]
+    with pytest.warns(UserWarning, match="drop_last"):
+        loaders = [
+            DataLoader(ds, batch_size=4, shuffle=True, seed=5,
+                       num_shards=4, shard_index=s)
+            for s in range(4)
+        ]
     per_shard = []
     seen: list[int] = []
     for ld in loaders:
@@ -83,16 +89,48 @@ def test_loader_shards_equal_length_disjoint_cover():
             seen.extend(int(v) for v in batch["x"].ravel())
     # identical batch-count AND batch-size schedule on every host
     assert all(p == per_shard[0] for p in per_shard[1:])
-    assert len(seen) == len(set(seen)) == 4 * (37 // 4)  # disjoint, 36 of 37
+    # disjoint; 8 full rows per shard (common 9 truncated to batch multiple)
+    assert len(seen) == len(set(seen)) == 4 * 8
     # identical global permutation on every host: shard 0's first batch is
     # the stride-4 head of the shared shuffle
     rng = np.random.default_rng(5)
     perm = np.arange(37)
     rng.shuffle(perm)
     fresh = DataLoader(ds, batch_size=4, shuffle=True, seed=5,
-                       num_shards=4, shard_index=0)
+                       num_shards=4, shard_index=0, drop_last=True)
     first = next(iter(fresh))["x"].ravel()
     np.testing.assert_array_equal(first, perm[0::4][:4])
+
+
+def test_shard_emit_plan_inverts_and_covers():
+    """per_shard + leftover partition the dataset; plan matches what the
+    loaders actually emit, and scattering emitted rows back through the
+    plan reconstructs dataset order (the Trainer.predict inversion)."""
+    ds = _Toy(37)
+    loaders = [
+        DataLoader(ds, batch_size=4, shuffle=True, seed=5,
+                   num_shards=4, shard_index=s, drop_last=True)
+        for s in range(4)
+    ]
+    plan = loaders[0].shard_emit_plan()
+    # every loader agrees on the plan (same seed/epoch)
+    for ld in loaders[1:]:
+        p2 = ld.shard_emit_plan()
+        for a, b in zip(plan["per_shard"], p2["per_shard"]):
+            np.testing.assert_array_equal(a, b)
+    emitted = [np.concatenate([b["x"].ravel() for b in ld]) for ld in loaders]
+    for want, got in zip(plan["per_shard"], emitted):
+        np.testing.assert_array_equal(want, got)
+    allv = np.concatenate(plan["per_shard"] + [plan["leftover"]])
+    assert sorted(allv.tolist()) == list(range(37))
+    # the predict() inversion: rows gathered in [shard0; shard1; ...] order
+    # scatter back to dataset order
+    order = np.concatenate(plan["per_shard"])
+    rows = order * 10.0  # "prediction" for dataset index i is 10*i
+    full = np.empty(37)
+    full[order] = rows
+    full[plan["leftover"]] = plan["leftover"] * 10.0
+    np.testing.assert_array_equal(full, np.arange(37) * 10.0)
 
 
 def test_loader_len_accounts_for_shards():
