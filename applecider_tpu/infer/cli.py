@@ -25,6 +25,10 @@ def main(argv=None) -> int:
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--no-binned", action="store_true",
                     help="arrival-order batches instead of length-binned feeding")
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile the configured serving bucket set "
+                         "(fills the persistent compile cache on a fresh "
+                         "host; see docs/SERVING.md) and exit")
     args = ap.parse_args(argv)
 
     from applecider_tpu.train.runtime import AppleCiderRuntime
@@ -34,6 +38,10 @@ def main(argv=None) -> int:
         rt.set_config("serve.batch_size", args.batch_size)
     if args.no_binned:
         rt.set_config("serve.binned", False)
+    if args.warmup:
+        result = rt.warmup()
+        print(json.dumps(result))
+        return 0
     summary = rt.serve(raw_path=args.raw_path)
     print(json.dumps({
         "n_alerts": summary["n_alerts"],

@@ -1119,7 +1119,8 @@ class FusedSpectraStream:
         return n
 
     def place(self, samples: list[dict], length_buckets=None,
-              image_dtype=np.float32, device=None, pad_to=None):
+              image_dtype=np.float32, device=None, pad_to=None,
+              host_only: bool = False):
         """Pack the full batch + compact spectra block + gather map, then
         device_put WITHOUT dispatching.
 
@@ -1128,7 +1129,12 @@ class FusedSpectraStream:
         packed rows — not the input sample list — keeps the host packing
         and compact-spectra work proportional to the REAL samples
         (LengthBinnedFeeder.flush on a 1-sample queue would otherwise pay
-        the full flush_bs pack)."""
+        the full flush_bs pack).
+
+        ``host_only``: return the packed numpy dict WITHOUT device_put —
+        for worker processes that must never touch the JAX backend
+        (OverlappedServingFeeder's process mode); pass the result to
+        ``place_packed`` on the main process."""
         import jax
 
         # full-batch pack at max_spec=1: the per-sample spectra columns are
@@ -1173,6 +1179,14 @@ class FusedSpectraStream:
             raw = {k: (np.concatenate([v, np.repeat(v[:1], pad_to - B, axis=0)])
                        if v.shape and v.shape[0] == B else v)
                    for k, v in raw.items()}
+        if host_only:
+            return raw
+        return self.place_packed(raw, device=device)
+
+    def place_packed(self, raw: dict, device=None):
+        """device_put a ``place(..., host_only=True)`` packed dict."""
+        import jax
+
         if self.pipe.mesh is not None and device is None:
             return self.pipe._shard_compact(raw)
         put = (lambda v: jax.device_put(v, device)) if device is not None \

@@ -453,6 +453,95 @@ class AppleCiderRuntime:
         summary["run_dir"] = out_dir
         return summary
 
+    def warmup(self, params=None, batch_size: int | None = None,
+               spectrum_fracs=(0.0, 0.1, 0.3)) -> dict:
+        """Precompile the serving bucket set (VERDICT r4 #7).
+
+        A fresh deployment host pays ~2 minutes of XLA compiles the first
+        time each (length-bucket, spectra-bucket, batch) shape is served
+        (measured: BENCH_r04 compile_seconds 125.7). This verb compiles
+        the configured set up front — and, with the persistent compile
+        cache (``jax.config jax_compilation_cache_dir``), persists them so
+        every later process on the host starts warm. Weight VALUES don't
+        matter for compilation, so a random init serves when no trained
+        run exists (``params=None`` tries the latest run first).
+
+        Returns ``{"programs": [...], "total_seconds": float}`` with
+        per-shape compile+first-run times; re-running reports the warm
+        (cache-hit) times — the cold/warm story in docs/SERVING.md.
+        """
+        import time as _time
+
+        from applecider_tpu.infer.stream import FusedSpectraStream
+
+        task = self._task()
+        sec = self.config.section("serve")
+        if params is None:
+            try:
+                if not self.datasets:
+                    self.prepare()
+                params, _, _ = self._restore_latest_params(task)
+            except Exception:
+                # no trained run / no datasets bound: weight VALUES are
+                # irrelevant to compilation — init compile-only weights
+                from applecider_tpu.models.fusion import AppleCiderTask
+
+                if not isinstance(task, AppleCiderTask):
+                    raise FileNotFoundError(
+                        "warmup needs a trained run (or explicit params) "
+                        f"for model {type(task).__name__}") from None
+                r0 = np.random.default_rng(0)
+                b = (r0.normal(size=(2, 257, 7)).astype(np.float32),
+                     np.zeros((2, 257), bool),
+                     r0.normal(size=(2, 24)).astype(np.float32),
+                     r0.normal(size=(2, 63, 63, 3)).astype(np.float32),
+                     r0.normal(size=(2, 3481)).astype(np.float32),
+                     np.zeros(2, np.int64))
+                params = jax.jit(lambda r: task.init(r, b)["params"])(
+                    jax.random.PRNGKey(0))
+        bs = int(batch_size or sec.get("batch_size", 1024))
+        buckets = tuple(sec.get("length_buckets", (63, 127, 191, 255, 257)))
+        mean, std = self._serve_stats()
+        router = FusedSpectraStream(task, stats_mean=mean, stats_std=std,
+                                    horizon_days=self._serve_horizon())
+        rng = np.random.default_rng(0)
+
+        def mk_samples(n, P, frac):
+            out = []
+            for i in range(n):
+                L = max(2, min(P, int(rng.integers(max(2, P // 2), P + 1))))
+                s = {
+                    "photo_t": np.sort(rng.uniform(0, 60, L)).astype(np.float32),
+                    "photo_flux": rng.lognormal(2.0, 1.0, L).astype(np.float32),
+                    "photo_err": rng.uniform(0.1, 2.0, L).astype(np.float32),
+                    "photo_band": rng.integers(0, 3, L).astype(np.int32),
+                    "image": rng.normal(size=(63, 63, 3)).astype(np.float32),
+                    "meta19": rng.normal(size=19).astype(np.float32),
+                }
+                if rng.random() < frac:
+                    m = int(rng.integers(200, 500))
+                    s["spec_wl"] = np.linspace(4000.0, 8500.0, m).astype(np.float32)
+                    s["spec_flux"] = rng.normal(1.0, 0.3, m).astype(np.float32)
+                out.append(s)
+            return out
+
+        t_all = _time.perf_counter()
+        programs = []
+        for P in buckets:
+            for frac in spectrum_fracs:
+                t0 = _time.perf_counter()
+                samples = mk_samples(bs, P, frac)
+                placed = router.place(samples, length_buckets=(P,))
+                out = router.run_placed(params, placed)()
+                assert np.isfinite(out).all()
+                programs.append({"length_bucket": int(P),
+                                 "spectrum_frac": float(frac),
+                                 "batch": bs,
+                                 "seconds": round(_time.perf_counter() - t0, 2)})
+        result = {"programs": programs,
+                  "total_seconds": round(_time.perf_counter() - t_all, 1)}
+        return result
+
     def engine(self, export_dir: str | Path | None = None) -> np.ndarray:
         """Load an exported artifact and run it over the infer dataset."""
         if not self.datasets:

@@ -281,7 +281,12 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
     def fit(self, train_loader, val_loader=None, epochs: Optional[int] = None,
-            pruning_hook=None) -> dict:
+            pruning_hook=None, init_params=None) -> dict:
+        """``init_params``: start from these weights instead of a fresh
+        init — the MPT weight-surgery warm start
+        (``models.mpt.warmstart_classifier_params``; reference
+        baselineCLS_example.py:31-39). A checkpoint resume still wins over
+        ``init_params`` (resume means continue THAT run)."""
         cfg = self.config
         epochs = epochs or int(cfg.get_path("train.epochs", default=10))
         seed = int(cfg.get_path("train.seed", default=42))
@@ -302,7 +307,10 @@ class Trainer:
         batch0 = self.task.to_tensor(first)
         rng, init_rng = jax.random.split(rng)
         variables = self.task.init(init_rng, batch0)
-        state = TrainState(variables["params"], self.tx.init(variables["params"]))
+        params0 = variables["params"]
+        if init_params is not None:
+            params0 = jax.tree.map(jnp.asarray, init_params)
+        state = TrainState(params0, self.tx.init(params0))
 
         start_epoch = 0
         if bool(cfg.get_path("checkpoint.resume", default=True)):

@@ -637,6 +637,71 @@ def run_bench(device) -> None:
             pend.popleft()()
         _update(sustained_from_raw_stamps_alerts_per_sec=round(
             sbs * it / (time.perf_counter() - t0), 1))
+        state["raw_records"] = [dict(s, stamps=raw_blobs[3 * i: 3 * i + 3])
+                                for i, s in enumerate(base)]
+
+    # ---- [11b] OVERLAPPED from-raw-stamps (VERDICT r4 #1): the
+    # multi-worker decode+pack feeder runs host work CONCURRENTLY with
+    # device execution instead of composing the stages serially; also
+    # report the per-core host rate + cores_to_saturate model a local
+    # (PCIe) deployment host needs.
+    def sec_overlapped():
+        from applecider_tpu.infer.feeder import (OverlappedServingFeeder,
+                                                 pipeline_model)
+
+        records = state.get("raw_records")
+        if not records:
+            return
+        sbs = len(records)
+        feeder = OverlappedServingFeeder(
+            router, params, n_workers=2, depth=2, buffer=3,
+            length_buckets=BUCKETS, image_dtype=img_dtype)
+        it = 8
+        batches = [records] * it
+        for _ in feeder.serve(iter([records])):  # warm (program cached)
+            pass
+        t0 = time.perf_counter()
+        n_out = 0
+        for out in feeder.serve(iter(batches)):
+            n_out += out.shape[0]
+        dt = time.perf_counter() - t0
+        rate = n_out / dt
+
+        # stage model: per-core host rate composes the measured decode and
+        # pack columns (both run on one core serially); H2D converts the
+        # probe bandwidth through the packed bytes/alert
+        with _LOCK:
+            dec = _BEST.get("native_fits_decode_alerts_per_sec") or 0.0
+            pk = _BEST.get("host_pack_alerts_per_sec_median") or \
+                _BEST.get("host_pack_alerts_per_sec") or 0.0
+            dev = _BEST.get("device_binned_frac03_alerts_per_sec") or 0.0
+            h2d_mbps = _BEST.get("h2d_mbps") or 0.0
+        host_core = 1.0 / (1.0 / dec + 1.0 / pk) if dec and pk else None
+        h2d_rate = None
+        if h2d_mbps:
+            raw0 = pack_alert_batch(
+                [{k: v for k, v in r.items() if k != "stamps"}
+                 | {"image": np.zeros((63, 63, 3), img_dtype)}
+                 for r in records[:64]],
+                length_buckets=BUCKETS, image_dtype=img_dtype)
+            bytes_per_alert = sum(v.nbytes for v in raw0.values()) / 64.0
+            h2d_rate = h2d_mbps * 1e6 / bytes_per_alert
+        upd = {"sustained_overlapped_alerts_per_sec": round(rate, 1),
+               "overlapped_workers": 2, "overlapped_mode": "thread"}
+        if host_core and dev:
+            model = pipeline_model(host_core, dev, n_cores=1,
+                                   h2d_alerts_per_sec=h2d_rate)
+            upd.update(
+                host_per_core_alerts_per_sec=round(host_core, 1),
+                h2d_alerts_per_sec=round(h2d_rate, 1) if h2d_rate else None,
+                overlapped_binding_stage_this_rig=model["binding_stage"],
+                # a LOCAL host has PCIe (>=8 GB/s): H2D never binds there,
+                # so cores_to_saturate comes from the device-only model
+                cores_to_saturate_local=pipeline_model(
+                    host_core, dev, n_cores=1)["cores_to_saturate"],
+                projected_overlapped_this_rig=model["projected_alerts_per_sec"],
+            )
+        _update(**upd)
 
 
     # Execution order (after the inline headline components above):
@@ -648,8 +713,65 @@ def run_bench(device) -> None:
     _section("device_binned_frac01", 80, sec_binned01)
     _section("device_binned_ztflen", 80, sec_binned_ztflen)
     _section("decode_and_raw_stamps", 60, sec_decode)
+    _section("sustained_overlapped", 60, sec_overlapped)
     _section("sustained_routed", 80, sec_sustained)
     _section("model_only", 100, sec_model_only)
+
+    # ---- [12] the DEPLOYMENT artifact on the chip (VERDICT r4 #4):
+    # export_serving -> deserialize the StableHLO program -> serve packed
+    # batches; parity vs the in-process pipeline + artifact-load vs
+    # jit-cold-start timing.
+    def sec_engine_serving():
+        import tempfile
+        from pathlib import Path as _Path
+
+        from applecider_tpu.train.runtime import AppleCiderRuntime
+
+        P = 191  # the bucket the 20-180-length mix lands in
+        rt = AppleCiderRuntime(overrides={
+            "model": {"name": "AppleCider"},
+            "train": {"compute_dtype": "bfloat16"},
+        })
+        tdir = _Path(tempfile.mkdtemp(prefix="acexport_"))
+        t0 = time.perf_counter()
+        rt.export_serving(out_path=tdir, length_buckets=(P,), params=params)
+        export_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        exported = jax.export.deserialize(
+            (tdir / f"serving_P{P}.stablehlo").read_bytes())
+        load_s = time.perf_counter() - t0
+        call = jax.jit(lambda p, r: exported.call(p, r))
+
+        samples = make_stream_samples(routed_bs, seed=33, spectrum_frac=0.3)
+        raw = pack_alert_batch(samples, max_photo=P, image_dtype=np.float32)
+        raw_dev = {k: jax.device_put(v, device) for k, v in raw.items()}
+        t0 = time.perf_counter()
+        out0 = call(params, raw_dev)
+        _block(out0)
+        first_s = time.perf_counter() - t0
+
+        # parity vs the in-process monolithic pipeline (same raw layout)
+        ref = timed_compile(lambda: pipe(params, raw_dev))
+        diff = float(np.max(np.abs(np.asarray(out0) - np.asarray(ref))))
+
+        it = max(6, iters // 2)
+        pend: deque = deque()
+        t0 = time.perf_counter()
+        for _ in range(it):
+            pend.append(call(params, raw_dev))
+            if len(pend) > depth:
+                _block(pend.popleft())
+        while pend:
+            _block(pend.popleft())
+        rate = routed_bs * it / (time.perf_counter() - t0)
+        _update(engine_serving_alerts_per_sec=round(rate, 1),
+                engine_serving_export_seconds=round(export_s, 1),
+                engine_serving_artifact_load_seconds=round(load_s, 2),
+                engine_serving_first_call_seconds=round(first_s, 1),
+                engine_serving_max_abs_diff_vs_pipeline=diff,
+                engine_serving_batch_size=routed_bs)
+
+    _section("engine_serving", 150, sec_engine_serving)
 
     # ---- full-mode extras -------------------------------------------------
     def sec_monolithic():

@@ -363,3 +363,30 @@ def test_engine_serving_concrete_fallback(corpus, tmp_path, monkeypatch):
                                 batch_size=3, params=params)
     assert summary["n_alerts"] > 0
     assert all(np.all(np.isfinite(r["probs"])) for r in summary["results"])
+
+
+def test_warmup_verb_precompiles_bucket_set(tmp_path):
+    """``warmup()`` compiles the configured (length-bucket, spectra-frac)
+    serving programs without a trained run (compile-only weights) and
+    reports per-shape times — the fresh-host deployment story
+    (docs/SERVING.md)."""
+    from applecider_tpu.train.runtime import AppleCiderRuntime
+
+    overrides = {
+        "model": {
+            "name": "AppleCider",
+            "BaselineCLS": {"d_model": 16, "n_heads": 2, "n_layers": 1,
+                            "dropout": 0.0},
+            "SpectraNet": {"channels": [4, 8], "depths": [1, 1],
+                           "kernel_sizes_per_stage": [[3, 7], [3, 5]]},
+            "AstroMiNN": {"backbone_depths": [1, 1],
+                          "backbone_dims": [8, 16]},
+        },
+        "train": {"compute_dtype": "float32"},
+        "serve": {"batch_size": 4, "length_buckets": [32, 64]},
+    }
+    rt = AppleCiderRuntime(overrides=overrides, workdir=tmp_path)
+    result = rt.warmup(spectrum_fracs=(0.0, 1.0))
+    assert len(result["programs"]) == 4  # 2 buckets x 2 fracs
+    assert all(p["seconds"] > 0 for p in result["programs"])
+    assert result["total_seconds"] > 0

@@ -218,3 +218,110 @@ def test_zoo_tasks_selectable_by_config_name():
         assert all(np.all(np.isfinite(np.asarray(g))) for g in flat), name
         preds = task.predict(variables["params"], batch)
         assert np.asarray(preds).shape[0] == 2, name
+
+
+def test_zoo_models_smoke_fit():
+    """Every zoo baseline TRAINS, not just compiles (VERDICT r4 #8): ~30
+    optimizer steps on a batch whose inputs carry the label signal must
+    drive the loss well below its starting value, through each task's own
+    init/loss_fn/make_optimizer."""
+    import optax
+
+    from applecider_tpu.config import load_defaults
+    from applecider_tpu.registry import get_model
+
+    rng = np.random.default_rng(1)
+    B = 16
+    labels = np.arange(B, dtype=np.int64) % 2  # valid for every class count
+
+    def sig(shape):
+        x = rng.normal(size=(B, *shape)).astype(np.float32)
+        return x + labels.reshape(B, *([1] * len(shape))).astype(np.float32)
+
+    specs = {
+        "BTSModel": (sig((63, 63, 3)), {"conv1_channels": 4, "conv2_channels": 4}),
+        "GalSpecNet": (sig((64,)), {"conv_channels": [1, 4, 4]}),
+        "MetaModel": (sig((24,)), {"hidden_dim": 8}),
+        "Informer": (sig((24, 7)), {"d_model": 8, "n_heads": 2, "n_layers": 1}),
+        "SpectraViT": (sig((64, 64, 3)),
+                       {"backbone_dim": 16, "backbone_depth": 1, "s_dim": 8}),
+        "SpectraEfficientNetV2": (sig((32, 32, 3)),
+                                  {"arch": "tiny", "s_dim": 8, "head_features": 16}),
+        "SpectraConvNeXt": (sig((63, 63, 3)), {"depths": [1, 1], "dims": [4, 8]}),
+    }
+    for name, (x, overrides) in specs.items():
+        cfg = load_defaults()
+        for k, v in overrides.items():
+            cfg.set(f"model.{name}.{k}", v)
+        cfg.set(f"model.{name}.lr", 3e-3)  # smoke-fit pace (default 1e-4)
+        cfg.set("train.compute_dtype", "float32")
+        task = get_model(name)(cfg)
+        batch = task.to_tensor({"data": {"image": x, "flux": x, "metadata": x,
+                                         "x": x, "label": labels}})
+        variables = task.init(jax.random.PRNGKey(0), batch)
+        params = variables["params"]
+        tx = task.make_optimizer()
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, key, _task=task, _tx=tx, _batch=batch):
+            (loss, _), grads = jax.value_and_grad(
+                _task.loss_fn, has_aux=True)(params, _batch, key, True)
+            updates, opt = _tx.update(grads, opt, params)
+            return optax.apply_updates(params, updates), opt, loss
+
+        key = jax.random.PRNGKey(2)
+        losses = []
+        for i in range(30):
+            key, k = jax.random.split(key)
+            params, opt, loss = step(params, opt, k)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all(), name
+        # VERDICT r4 #8 asks "loss decreases over ~20 steps"; demand a
+        # material drop (25%+) — halving is model-dependent at 30 steps
+        assert losses[-1] < 0.75 * losses[0], (
+            f"{name}: loss {losses[0]:.3f} -> {losses[-1]:.3f} did not drop")
+
+
+def test_experimental_cnn_tower_smoke_fit(rng):
+    """The experimental CNN tower (reference design exploration) also
+    trains: a small head on its features separates a 2-class signal."""
+    import flax.linen as nn
+    import optax
+
+    from applecider_tpu.models.experimental import CNNTower
+
+    B = 8
+    labels = np.arange(B, dtype=np.int64) % 2
+    x = rng.normal(size=(B, 32, 32, 3)).astype(np.float32)
+    x += labels.reshape(B, 1, 1, 1).astype(np.float32)
+
+    class Head(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            feats = CNNTower(channels=8, depth=2, outdims=16,
+                             dtype=jnp.float32)(x)
+            return nn.Dense(2, dtype=jnp.float32)(feats)
+
+    m = Head()
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    y = jnp.asarray(labels)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            logits = m.apply({"params": p}, jnp.asarray(x))
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0]
