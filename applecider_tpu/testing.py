@@ -47,8 +47,8 @@ def _class_mag_curve(cls_idx: int, t_rel: np.ndarray,
     elif cls_idx == 2:  # CV: quiescence + sawtooth outbursts
         period = float(rng.uniform(15, 30))
         phase = np.mod(t_rel, period) / period
-        outburst = np.where(phase < 0.25, 2.0 * (1 - phase / 0.25), 0.0)
-        mag = peak + 1.0 - outburst
+        outburst = np.where(phase < 0.25, 1.5 * (1 - phase / 0.25), 0.0)
+        mag = peak - outburst  # keeps the class's median level in its band
     elif cls_idx == 3:  # AGN: mean-reverting random walk
         steps = rng.normal(0, 0.25, size=len(t_rel))
         walk = np.cumsum(steps) - np.linspace(0, steps.sum(), len(t_rel))

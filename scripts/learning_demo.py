@@ -65,7 +65,8 @@ def run_seed(root: Path, seed: int, quick: bool) -> dict:
     # ---------------------------------------------------------- photometry
     overrides = {
         "model": {"name": "BaselineCLS", "BaselineCLS": {
-            "d_model": 32, "n_heads": 4, "n_layers": 2, "dropout": 0.1}},
+            "d_model": 32, "n_heads": 4, "n_layers": 2, "dropout": 0.1,
+            "lr": 1e-3, "pretrain_lr": 1e-3}},
         # no EMA on the photometry path (reference baselineCLS recipe has
         # none; a 0.98 shadow needs ~50 steps to catch up — longer than
         # these short runs); the fusion stage below exercises EMA
@@ -97,7 +98,7 @@ def run_seed(root: Path, seed: int, quick: bool) -> dict:
     mpt_task = MPTTask(rt.config)
     mpt_trainer = Trainer(mpt_task, rt.config, root / "results" / "pretrain")
     pre = mpt_trainer.fit(DataLoader(train_ds, batch_size=16, seed=seed),
-                          epochs=max(4, epochs // 3))
+                          epochs=max(8, epochs // 2))
     mpt_losses = [h["train_loss"] for h in pre["history"]]
 
     # 2. warm-started finetune vs cold finetune
@@ -136,6 +137,7 @@ def run_seed(root: Path, seed: int, quick: bool) -> dict:
         "model.AstroMiNN.backbone_depths": [1, 1],
         "model.AstroMiNN.backbone_dims": [8, 16],
         "model.AppleCider.fusion": "concat",
+        "model.AppleCider.lr": 5e-4,
         "train.compute_dtype": "float32", "train.epochs": epochs,
         "train.seed": seed, "train.ema_decay": 0.98,
         "train.plateau_factor": 0.5, "train.plateau_patience": 4,
