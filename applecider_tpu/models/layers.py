@@ -144,6 +144,40 @@ class LayerNorm(nn.Module):
         return y.astype(self.dtype or orig_dtype)
 
 
+class LayerNormGelu(nn.Module):
+    """LayerNorm + exact GELU with LayerNorm-identical params ("scale"/
+    "bias" — checkpoint-compatible drop-in for a LayerNorm followed by
+    ``gelu_exact``).
+
+    Default path is EXACTLY the legacy two-op sequence (f32 LN stats, cast
+    to the input dtype, gelu in that dtype) so parity tests are unchanged.
+    ``ACLNGELU=pallas`` routes through the fused single-pass Pallas kernel
+    (ops/ln_gelu.py; gelu computed in f32 before the cast — identical in
+    f32 mode, last-bit different in bf16); see KERNEL_NOTES for the
+    on-chip A/B that gates adoption.
+    """
+
+    eps: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from applecider_tpu.ops.ln_gelu import impl as _lg_impl, ln_gelu
+
+        orig_dtype = x.dtype
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        mode = _lg_impl()
+        if mode.startswith("pallas"):
+            y = ln_gelu(x, scale, bias, self.eps, impl_override=mode)
+            return y.astype(self.dtype or orig_dtype)
+        if _ln_impl() == "vjp":
+            y = _ln_apply(x, scale, bias, self.eps)
+        else:
+            y, _, _ = _ln_norm(x, scale, bias, self.eps)
+        return gelu_exact(y.astype(self.dtype or orig_dtype))
+
+
 class MultiHeadSelfAttention(nn.Module):
     """torch nn.MultiheadAttention semantics (fused qkv, q-scaling, key padding).
 

@@ -34,7 +34,8 @@ from flax import linen as nn
 from applecider_tpu.ops.dropout import FastDropout
 
 from applecider_tpu.models.base import Task, maybe_softmax
-from applecider_tpu.models.layers import Linear, LayerNorm, gelu_exact, torch_bias_init
+from applecider_tpu.models.layers import (
+    LayerNorm, LayerNormGelu, Linear, gelu_exact, torch_bias_init)
 from applecider_tpu.ops.conv1d import avg_pool1d, conv1d, max_pool1d, min_pool1d
 from applecider_tpu.ops.losses import focal_loss
 from applecider_tpu.registry import register_model
@@ -126,8 +127,10 @@ class SpectraBlock(nn.Module):
                 "SpectraBlock(use_ln=False) (reference BatchNorm mode) is not "
                 "supported; the TPU build is LayerNorm-only"
             )
-        x = LayerNorm(name="norm")(x)
-        x = gelu_exact(x)
+        # LN+GELU as one checkpoint-compatible module: the legacy two-op
+        # sequence by default; ACLNGELU=pallas fuses the pair into a
+        # single-HBM-pass Pallas kernel (ops/ln_gelu.py, VERDICT r4 #6)
+        x = LayerNormGelu(name="norm")(x)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         if self.do_pool:
