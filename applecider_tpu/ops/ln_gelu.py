@@ -14,13 +14,19 @@ This kernel is the "last measured shot" (VERDICT r4 #6) at that residual:
 
 LayerNorm semantics match ``models.layers.LayerNorm`` (torch eps 1e-5,
 f32 stats over the LAST dim); GELU is the exact erf formulation
-(``gelu_exact``). Exactness vs the unfused ops is unit-tested in
-interpret mode (tests/test_ln_gelu.py); the on-chip train-step A/B lives
-in scripts/tpu_ln_gelu_ab.py and decides adoption (>= 5 ms or the ledger
-closes — KERNEL_NOTES).
+(``gelu_exact``; in-kernel via the A&S 7.1.26 rational erf — exact at f32
+working precision, Mosaic has no erf primitive). Exactness vs the unfused
+ops is unit-tested in interpret mode (tests/test_ln_gelu.py).
 
-Enable in the model with ``ACLNGELU=pallas`` (``pallas_interpret`` for
-CPU tests); default off until the A/B wins.
+**MEASURED AND REJECTED (round 5)** — the on-chip b256 train-step A/B
+(scripts/tpu_ln_gelu_ab.py, tpu_results/ln_gelu_ab_r5.jsonl): 147.2 ms
+fused vs 108.0 ms XLA, both reps. XLA schedules the LN/GELU HBM passes
+UNDER the adjacent conv MXU work; hoisting them into a standalone Pallas
+kernel serializes that overlap and costs ~39 ms. Consistent with the r3
+bf16-LN tie. This closes the SpectraNet-LN ledger row (KERNEL_NOTES
+§Round-4 row 1): the train step is at its structural envelope on v5e.
+The kernel stays available behind ``ACLNGELU=pallas`` as evidence; the
+default path is byte-identical to the pre-swap model.
 """
 
 from __future__ import annotations
@@ -54,6 +60,21 @@ def ln_gelu_reference(x, scale, bias, eps: float = 1e-5):
 
 
 # -------------------------------------------------------------------- kernels
+def _erf_approx(x):
+    """Abramowitz & Stegun 7.1.26 rational erf — max abs error 1.5e-7
+    (f32 eps is 1.2e-7, so this is exact at f32 working precision).
+    Mosaic has no erf primitive (lowering raises NotImplementedError), so
+    the kernel carries its own; the OUT-of-kernel reference keeps
+    ``jax.lax.erf`` and the unit tests bound the difference."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _fwd_kernel(x_ref, s_ref, b_ref, y_ref, *, eps: float):
     xf = x_ref[...].astype(jnp.float32)  # (RB, C)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -61,7 +82,7 @@ def _fwd_kernel(x_ref, s_ref, b_ref, y_ref, *, eps: float):
     inv = jax.lax.rsqrt(var + eps)
     z = (xf - mean) * inv * s_ref[...].astype(jnp.float32) + \
         b_ref[...].astype(jnp.float32)
-    y = 0.5 * z * (1.0 + jax.lax.erf(z / _SQRT2))
+    y = 0.5 * z * (1.0 + _erf_approx(z / _SQRT2))
     y_ref[...] = y.astype(y_ref.dtype)
 
 
@@ -76,11 +97,18 @@ def _bwd_kernel(x_ref, s_ref, b_ref, g_ref, dx_ref, ds_ref, db_ref, *,
     xhat = (xf - mean) * inv
     z = xhat * s + b_ref[...].astype(jnp.float32)
     # d gelu(z)/dz = Phi(z) + z * phi(z)
-    dgelu = 0.5 * (1.0 + jax.lax.erf(z / _SQRT2)) + \
+    dgelu = 0.5 * (1.0 + _erf_approx(z / _SQRT2)) + \
         z * _INV_SQRT_2PI * jnp.exp(-0.5 * z * z)
     dz = gf * dgelu
-    ds_ref[...] = jnp.sum(dz * xhat, axis=0, keepdims=True)
-    db_ref[...] = jnp.sum(dz, axis=0, keepdims=True)
+    c = xf.shape[-1]
+    # partial blocks are (8, C): Mosaic requires the second-to-last block
+    # dim divisible by 8 — row 0 carries the partial, rows 1-7 are zero
+    # and vanish in the outside sum
+    zeros7 = jnp.zeros((7, c), jnp.float32)
+    ds_ref[...] = jnp.concatenate(
+        [jnp.sum(dz * xhat, axis=0, keepdims=True), zeros7], axis=0)
+    db_ref[...] = jnp.concatenate(
+        [jnp.sum(dz, axis=0, keepdims=True), zeros7], axis=0)
     dxhat = dz * s
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
@@ -90,7 +118,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, g_ref, dx_ref, ds_ref, db_ref, *,
 def _pick_rb(n_rows: int, c: int) -> int:
     """Row-block size: keep the (RB, C) f32 tile plus temporaries in VMEM."""
     budget = 2 * 1024 * 1024 // max(c * 4, 1)  # ~2 MB for x per pass
-    rb = max(8, min(1024, budget))
+    rb = max(8, min(1024, budget) // 8 * 8)  # Mosaic: row blocks % 8 == 0
     while n_rows % rb:
         rb //= 2
         if rb < 8:
@@ -142,16 +170,16 @@ def _ln_gelu_2d_bwd(eps, interpret, res, g):
         functools.partial(_bwd_kernel, eps=eps),
         out_shape=(
             jax.ShapeDtypeStruct((n, c), x.dtype),
-            jax.ShapeDtypeStruct((grid, c), jnp.float32),
-            jax.ShapeDtypeStruct((grid, c), jnp.float32),
+            jax.ShapeDtypeStruct((grid * 8, c), jnp.float32),
+            jax.ShapeDtypeStruct((grid * 8, c), jnp.float32),
         ),
         grid=(grid,),
         in_specs=[_rows_spec(rb, c), _vec_spec(c), _vec_spec(c),
                   _rows_spec(rb, c)],
         out_specs=(
             _rows_spec(rb, c),
-            pl.BlockSpec((1, c), lambda i: (i, 0)),
-            pl.BlockSpec((1, c), lambda i: (i, 0)),
+            pl.BlockSpec((8, c), lambda i: (i, 0)),
+            pl.BlockSpec((8, c), lambda i: (i, 0)),
         ),
         interpret=interpret,
     )(x, scale.reshape(1, c), bias.reshape(1, c), g)

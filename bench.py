@@ -754,17 +754,25 @@ def run_bench(device) -> None:
         ref = timed_compile(lambda: pipe(params, raw_dev))
         diff = float(np.max(np.abs(np.asarray(out0) - np.asarray(ref))))
 
-        it = max(6, iters // 2)
-        pend: deque = deque()
-        t0 = time.perf_counter()
-        for _ in range(it):
-            pend.append(call(params, raw_dev))
-            if len(pend) > depth:
+        def rate_of(fn, it):
+            pend: deque = deque()
+            t0 = time.perf_counter()
+            for _ in range(it):
+                pend.append(fn())
+                if len(pend) > depth:
+                    _block(pend.popleft())
+            while pend:
                 _block(pend.popleft())
-        while pend:
-            _block(pend.popleft())
-        rate = routed_bs * it / (time.perf_counter() - t0)
+            return routed_bs * it / (time.perf_counter() - t0)
+
+        it = max(6, iters // 2)
+        rate = rate_of(lambda: call(params, raw_dev), it)
+        # the within-10% claim (VERDICT r4 #4) compares the ARTIFACT
+        # against the SAME monolithic program served in-process
+        rate_inproc = rate_of(lambda: pipe(params, raw_dev), it)
         _update(engine_serving_alerts_per_sec=round(rate, 1),
+                engine_serving_inprocess_alerts_per_sec=round(rate_inproc, 1),
+                engine_serving_vs_inprocess=round(rate / rate_inproc, 3),
                 engine_serving_export_seconds=round(export_s, 1),
                 engine_serving_artifact_load_seconds=round(load_s, 2),
                 engine_serving_first_call_seconds=round(first_s, 1),
