@@ -79,7 +79,10 @@ def _refresh_headline_locked() -> None:
     two measured components with the relay-bound joint number kept in the
     JSON alongside.
     """
-    pack = _BEST.get("host_pack_alerts_per_sec") or 0.0
+    # median over repeats (conservative estimator; VERDICT r3 weak #3 /
+    # r4 weak #6) — the max rides alongside in the JSON
+    pack = _BEST.get("host_pack_alerts_per_sec_median") or \
+        _BEST.get("host_pack_alerts_per_sec") or 0.0
     dev = max(_BEST.get("device_binned_frac03_alerts_per_sec") or 0.0,
               _BEST.get("device_routed_alerts_per_sec") or 0.0)
     sustained = max(_BEST.get("sustained_routed_alerts_per_sec") or 0.0,

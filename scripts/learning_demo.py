@@ -249,9 +249,9 @@ def main(argv=None):
         "quick": args.quick,
         "photo_warm_accuracy": agg("photo_warm_test.accuracy"),
         "photo_cold_accuracy": agg("photo_cold_test.accuracy"),
-        "photo_warm_f1_macro": agg("photo_warm_test.f1_macro"),
+        "photo_warm_macro_f1": agg("photo_warm_test.macro_f1"),
         "fusion_accuracy": agg("fusion_test.accuracy"),
-        "fusion_f1_macro": agg("fusion_test.f1_macro"),
+        "fusion_macro_f1": agg("fusion_test.macro_f1"),
         "chance_accuracy": 0.2,
         "majority_fraction": agg("test_majority_fraction"),
         "per_seed": results,
