@@ -713,12 +713,6 @@ def run_bench(device) -> None:
     # the record.
     _section("train", 120, sec_train)
     _section("p50", 80, sec_p50)
-    _section("device_binned_frac01", 80, sec_binned01)
-    _section("device_binned_ztflen", 80, sec_binned_ztflen)
-    _section("decode_and_raw_stamps", 60, sec_decode)
-    _section("sustained_overlapped", 60, sec_overlapped)
-    _section("sustained_routed", 80, sec_sustained)
-    _section("model_only", 100, sec_model_only)
 
     # ---- [12] the DEPLOYMENT artifact on the chip (VERDICT r4 #4):
     # export_serving -> deserialize the StableHLO program -> serve packed
@@ -770,19 +764,28 @@ def run_bench(device) -> None:
 
         it = max(6, iters // 2)
         rate = rate_of(lambda: call(params, raw_dev), it)
-        # the within-10% claim (VERDICT r4 #4) compares the ARTIFACT
-        # against the SAME monolithic program served in-process
-        rate_inproc = rate_of(lambda: pipe(params, raw_dev), it)
         _update(engine_serving_alerts_per_sec=round(rate, 1),
-                engine_serving_inprocess_alerts_per_sec=round(rate_inproc, 1),
-                engine_serving_vs_inprocess=round(rate / rate_inproc, 3),
                 engine_serving_export_seconds=round(export_s, 1),
                 engine_serving_artifact_load_seconds=round(load_s, 2),
                 engine_serving_first_call_seconds=round(first_s, 1),
                 engine_serving_max_abs_diff_vs_pipeline=diff,
                 engine_serving_batch_size=routed_bs)
+        # the within-10% claim (VERDICT r4 #4) compares the ARTIFACT
+        # against the SAME monolithic program served in-process
+        rate_inproc = rate_of(lambda: pipe(params, raw_dev), it)
+        _update(engine_serving_inprocess_alerts_per_sec=round(rate_inproc, 1),
+                engine_serving_vs_inprocess=round(rate / rate_inproc, 3))
 
+    # VERDICT r5 deliverable order: the deployment artifact lands before
+    # the informational columns — on a slow-relay day the deadline trims
+    # decode/overlap/model-only context, not the engine_serving record
     _section("engine_serving", 150, sec_engine_serving)
+    _section("decode_and_raw_stamps", 60, sec_decode)
+    _section("sustained_overlapped", 60, sec_overlapped)
+    _section("device_binned_frac01", 80, sec_binned01)
+    _section("device_binned_ztflen", 80, sec_binned_ztflen)
+    _section("sustained_routed", 80, sec_sustained)
+    _section("model_only", 100, sec_model_only)
 
     # ---- stream-shape sensitivity note (VERDICT r4 #9): how the headline
     # moves under realistic ZTF stream shapes (short-skewed light-curve
